@@ -1,0 +1,160 @@
+"""HCI variational determinant selection driver.
+
+Re-design of perform_hci's variational loop (ref: hci.f90:66-560):
+  iterate { select connections with |H_ij c_j| > eps_var  ->  union ->
+            build sparse H (incremental)  ->  Davidson  ->  convergence }
+with the reference's exact control flow: eps_var schedule, the
+min_H_already_done skip window (ref: hci.f90:1014, chemistry.f90:7043),
+exit criterion 1 (det-count growth < 1e-5 relative, before diagonalizing)
+and criterion 2 (energy change < 1e-5 after).
+
+The determinant list is kept globally sorted by the (up,dn) key at all
+times (unlike the reference's [old, new-sorted] append order); weights and
+bookkeeping arrays are permuted alongside, which makes merging, searching,
+and PT membership tests pure sorted-set operations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..ops import setalg
+from ..utils.timers import phase
+from .connect import generate_connections
+from .davidson import davidson
+from .sparseham import SparseHam, build_sparse_ham
+
+
+@dataclasses.dataclass
+class HCIResult:
+    up: np.ndarray          # [n, W] sorted
+    dn: np.ndarray
+    wts: np.ndarray         # [n, n_states]
+    energies: np.ndarray    # [n_states]
+    diag: np.ndarray        # [n] diagonal elements
+    n_iters: int
+    ham: SparseHam | None = None
+
+
+def run_hci(system, eps_var: float, eps_var_sched=None, n_states: int = 1,
+            max_iters: int = 50, verbose: bool = True,
+            keep_ham: bool = False) -> HCIResult:
+    nup, ndn, norb = system.nup, system.ndn, system.norb
+
+    up = system.hf_up[None, :].copy()
+    dn = system.hf_dn[None, :].copy()
+    wts = np.zeros((1, n_states))
+    wts[0, 0] = 1.0
+    min_H_done = np.full(1, 1e99)
+
+    H = build_sparse_ham(system.table, up, dn, nup, ndn, norb)
+    energies = np.full(n_states, H.diag[0])
+    if verbose:
+        print(f"Iteration   0 eps1={eps_var:8.1e} ndets={1:9d} "
+              f"energy=" + " ".join(f"{e:16.9f}" for e in energies), flush=True)
+
+    if eps_var_sched is None:
+        eps_var_sched = [eps_var]
+    final_eps = eps_var
+
+    n_iter_done = 0
+    for it in range(1, max_iters + 1):
+        eps = eps_var_sched[it - 1] if it <= len(eps_var_sched) else final_eps
+        n_old = len(up)
+
+        if it > 1:
+            coeffs = np.max(np.abs(wts), axis=1)
+        else:
+            coeffs = wts[:, 0].copy()
+        coeffs = np.where(coeffs == 0.0, 1e-300, np.abs(coeffs))
+
+        # generation with the already-done window
+        gen_mask = coeffs * min_H_done > eps
+        eps_per_ref = eps / coeffs
+        with phase("get_next_det_list", enabled=verbose):
+            if gen_mask.any():
+                cu, cd, _, _ = generate_connections(
+                    system, up[gen_mask], dn[gen_mask],
+                    eps_per_ref[gen_mask], min_H_done[gen_mask])
+            else:
+                cu = np.zeros((0, up.shape[1]), np.uint64)
+                cd = cu.copy()
+        min_H_done = np.minimum(min_H_done, eps_per_ref)
+
+        if len(cu):
+            cu, cd, _, _ = setalg.unique_dets(cu, cd)
+            new_mask = setalg.setdiff_dets(cu, cd, up, dn)
+            cu, cd = cu[new_mask], cd[new_mask]
+        n_new_dets = len(cu)
+        n_total = n_old + n_new_dets
+
+        if n_total == n_old:
+            if verbose:
+                print("Cycling hci iteration because no new dets", flush=True)
+            if it >= len(eps_var_sched) or eps == eps_var_sched[-1]:
+                break
+            continue
+
+        # exit criterion 1: relative growth below 1e-5 at final eps
+        if (n_total <= int(1.00001 * n_old)
+                and eps == (eps_var_sched[-1] if eps_var_sched else final_eps)):
+            if verbose:
+                print("Exiting variational part because of number of new dets "
+                      "criterion", flush=True)
+            break
+
+        # merge: keep the global list sorted
+        up2 = np.concatenate([up, cu])
+        dn2 = np.concatenate([dn, cd])
+        order = setalg.lexsort_dets(up2, dn2)
+        up2, dn2 = up2[order], dn2[order]
+        # previous rows land at positions where order < n_old
+        prev_map = np.empty(n_old, dtype=np.int64)
+        prev_pos = np.nonzero(order < n_old)[0]
+        prev_map[order[prev_pos]] = prev_pos
+
+        wts2 = np.zeros((n_total, n_states))
+        wts2[prev_map] = wts
+        mhd2 = np.full(n_total, 1e99)
+        mhd2[prev_map] = min_H_done
+
+        with phase("generate_sparse_ham", enabled=verbose):
+            H = build_sparse_ham(system.table, up2, dn2, nup, ndn, norb,
+                                 prev=H, prev_map=prev_map)
+
+        # starting vectors: previous wavefunction; extra states get unit
+        # vectors on the lowest unneeded diagonal elements
+        X0 = wts2.copy()
+        for s in range(n_states):
+            if np.linalg.norm(X0[:, s]) < 1e-12:
+                X0[np.argsort(H.diag)[s], s] = 1.0
+
+        with phase("davidson", enabled=verbose):
+            evals, evecs = davidson(H, n_states, initial=X0)
+
+        up, dn, wts, min_H_done = up2, dn2, evecs, mhd2
+        old_energies = energies
+        energies = evals
+        n_iter_done = it
+        if verbose:
+            print(f"Iteration{it:4d} eps1={eps:8.1e} ndets={n_total:9d} "
+                  f"energy=" + " ".join(f"{e:16.9f}" for e in energies),
+                  flush=True)
+
+        # exit criterion 2: energy change below 1e-5 at final eps
+        if (np.max(np.abs(energies - old_energies)) < 1e-5
+                and eps == (eps_var_sched[-1] if eps_var_sched else final_eps)):
+            if verbose:
+                print("Exiting variational part because of energy criterion",
+                      flush=True)
+            break
+
+    if verbose:
+        print(f"Final Iteration{n_iter_done:4d} {len(up):9d} dets, energy=" +
+              " ".join(f"{e:16.9f}" for e in energies), flush=True)
+        print("Variational energy=" + f"{energies[0]:26.9f}".rjust(15), flush=True)
+
+    return HCIResult(up=up, dn=dn, wts=wts, energies=energies, diag=H.diag,
+                     n_iters=n_iter_done, ham=H if keep_ham else None)

@@ -1,0 +1,251 @@
+"""Sparse variational Hamiltonian construction by sort-join.
+
+TPU-native replacement for the reference's "N-1 partial connections"
+algorithm (ref: chemistry.f90 generate_sparse_ham_chem_upper_triangular:7639,
+get_n_minus_1_configs:9819, fhash maps :9993): instead of hash tables of
+partial strings, every determinant emits removal keys and connected pairs
+are found by sorting the key list and pairing within equal-key groups -
+sort/searchsorted/segment arithmetic only.
+
+Key families (for nup,ndn >= 2; singles are covered multiply and deduped):
+  F2: (up minus 2 occupied, dn)      - same-spin-up doubles + up singles
+  F4: (up, dn minus 2 occupied)      - same-spin-dn doubles + dn singles
+  F5: (up minus 1, dn minus 1)       - opposite-spin doubles + all singles
+Every pair sharing a key differs by at most a double excitation, so all
+emitted pairs are true H-connections (or identical dets, excluded).
+
+Incremental reuse across HCI iterations (ref: sparse_ham carry-over,
+common_selected_ci.f90): pairs among old determinants are remapped from the
+previous COO; only pairs touching new determinants are joined and evaluated.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from itertools import combinations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import dets as dets_mod
+from ..systems.chem import slater
+
+
+@dataclasses.dataclass
+class SparseHam:
+    """Symmetric COO, strictly-upper-triangle entries + diagonal.
+
+    rows/cols int32 [nnz] with rows<cols; vals float64 [nnz];
+    diag float64 [n]."""
+    n: int
+    rows: np.ndarray
+    cols: np.ndarray
+    vals: np.ndarray
+    diag: np.ndarray
+
+
+def _occ_lists(words: np.ndarray, norb: int, ne: int) -> np.ndarray:
+    """Occupied orbital indices [n, ne] (host)."""
+    n, W = words.shape
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((words[:, :, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    bits = bits.reshape(n, W * 64)[:, :norb]
+    order = np.argsort(1 - bits, axis=1, kind="stable")
+    return order[:, :ne].astype(np.int32)
+
+
+def _clear_orbs_np(words: np.ndarray, orbs: np.ndarray) -> np.ndarray:
+    """Clear one orbital per row. words [n,W], orbs [n] -> new [n,W]."""
+    out = words.copy()
+    w_idx = (orbs // 64).astype(np.int64)
+    bit = np.uint64(1) << (orbs.astype(np.uint64) % np.uint64(64))
+    flat = out.reshape(-1)
+    pos = np.arange(len(words)) * words.shape[1] + w_idx
+    flat[pos] &= ~bit
+    return out
+
+
+def _emit_group_pairs(sort_idx, group_id, new_start):
+    """All unordered pairs within equal-key groups, vectorized.
+
+    sort_idx: det index per sorted key row; group_id: group per sorted row.
+    Returns (a, b) det-index arrays, filtered to pairs touching a det with
+    index >= new_start.
+    """
+    n = len(sort_idx)
+    if n == 0:
+        return (np.zeros(0, np.int64),) * 2
+    first = np.ones(n, dtype=bool)
+    first[1:] = group_id[1:] != group_id[:-1]
+    group_start = np.maximum.accumulate(np.where(first, np.arange(n), 0))
+    local = np.arange(n) - group_start           # rank within group
+    # each row t pairs with the `local[t]` earlier rows of its group
+    counts = local.astype(np.int64)
+    offs = np.cumsum(counts)
+    total = int(offs[-1]) if n else 0
+    if total == 0:
+        return (np.zeros(0, np.int64),) * 2
+    t = np.searchsorted(offs, np.arange(total), side="right")
+    prev = offs[t] - counts[t]
+    partner = group_start[t] + (np.arange(total) - prev)
+    a = sort_idx[t]
+    b = sort_idx[partner]
+    keep = (a >= new_start) | (b >= new_start)
+    a, b = a[keep], b[keep]
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    keep2 = lo != hi
+    return lo[keep2], hi[keep2]
+
+
+def connected_pairs(up: np.ndarray, dn: np.ndarray, nup: int, ndn: int,
+                    norb: int, new_start: int = 0):
+    """All det-index pairs (i<j) within <=2 excitations, deduped, touching
+    at least one det with index >= new_start.  Host numpy."""
+    n = len(up)
+    occ_up = _occ_lists(up, norb, nup)
+    occ_dn = _occ_lists(dn, norb, ndn)
+
+    pairs_a, pairs_b = [], []
+
+    def join(key_up, key_dn, idx):
+        order = np.lexsort(tuple(key_dn[:, w] for w in range(key_dn.shape[1])) +
+                           tuple(key_up[:, w] for w in range(key_up.shape[1])))
+        ku, kd, ix = key_up[order], key_dn[order], idx[order]
+        same = np.ones(len(ix), dtype=bool)
+        same[0] = False
+        same[1:] = np.all(ku[1:] == ku[:-1], axis=1) & np.all(kd[1:] == kd[:-1], axis=1)
+        gid = np.cumsum(~same)
+        a, b = _emit_group_pairs(ix, gid, new_start)
+        if len(a):
+            pairs_a.append(a)
+            pairs_b.append(b)
+
+    det_idx = np.arange(n, dtype=np.int64)
+
+    # Keys from DIFFERENT removal choices can match (the removed orbitals sit
+    # at different occ-list positions in each det), so each family pools the
+    # keys of all removal choices into ONE join.
+    # F2: up minus 2 occupied
+    ku_l, kd_l, ix_l = [], [], []
+    for c1, c2 in combinations(range(nup), 2):
+        ku_l.append(_clear_orbs_np(_clear_orbs_np(up, occ_up[:, c1]),
+                                   occ_up[:, c2]))
+        kd_l.append(dn)
+        ix_l.append(det_idx)
+    if ku_l:
+        join(np.concatenate(ku_l), np.concatenate(kd_l), np.concatenate(ix_l))
+    # F4: dn minus 2 occupied
+    ku_l, kd_l, ix_l = [], [], []
+    for c1, c2 in combinations(range(ndn), 2):
+        ku_l.append(up)
+        kd_l.append(_clear_orbs_np(_clear_orbs_np(dn, occ_dn[:, c1]),
+                                   occ_dn[:, c2]))
+        ix_l.append(det_idx)
+    if ku_l:
+        join(np.concatenate(ku_l), np.concatenate(kd_l), np.concatenate(ix_l))
+    # F5: up minus 1, dn minus 1
+    ku_l, kd_l, ix_l = [], [], []
+    for c1 in range(nup):
+        ku = _clear_orbs_np(up, occ_up[:, c1])
+        for c2 in range(ndn):
+            ku_l.append(ku)
+            kd_l.append(_clear_orbs_np(dn, occ_dn[:, c2]))
+            ix_l.append(det_idx)
+    if ku_l:
+        join(np.concatenate(ku_l), np.concatenate(kd_l), np.concatenate(ix_l))
+    # fallback families when a spin channel has <2 electrons (the F2/F4
+    # single-excitation coverage needs >=2 same-spin electrons, F5 needs
+    # >=1 in the other channel)
+    if nup == 1 or ndn == 0:
+        ku_l = [_clear_orbs_np(up, occ_up[:, c1]) for c1 in range(nup)]
+        if ku_l:
+            join(np.concatenate(ku_l), np.tile(dn, (nup, 1)),
+                 np.tile(det_idx, nup))
+    if ndn == 1 or nup == 0:
+        kd_l = [_clear_orbs_np(dn, occ_dn[:, c2]) for c2 in range(ndn)]
+        if kd_l:
+            join(np.tile(up, (ndn, 1)), np.concatenate(kd_l),
+                 np.tile(det_idx, ndn))
+
+    if not pairs_a:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    a = np.concatenate(pairs_a)
+    b = np.concatenate(pairs_b)
+    # dedup
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    first = np.ones(len(a), dtype=bool)
+    first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return a[first], b[first]
+
+
+def eval_pairs(table, up, dn, a, b, norb, batch: int = 1 << 18):
+    """Signed H elements for det pairs (a,b), device-batched."""
+    out = np.empty(len(a))
+    for beg in range(0, len(a), batch):
+        end = min(beg + batch, len(a))
+        bu_i = dets_mod.to_bits(jnp.asarray(up[a[beg:end]]), norb)
+        bd_i = dets_mod.to_bits(jnp.asarray(dn[a[beg:end]]), norb)
+        bu_j = dets_mod.to_bits(jnp.asarray(up[b[beg:end]]), norb)
+        bd_j = dets_mod.to_bits(jnp.asarray(dn[b[beg:end]]), norb)
+        out[beg:end] = np.asarray(
+            slater.pair_matrix_elements(table, bu_i, bd_i, bu_j, bd_j))
+    return out
+
+
+def build_sparse_ham(table, up: np.ndarray, dn: np.ndarray, nup: int,
+                     ndn: int, norb: int,
+                     prev: SparseHam | None = None,
+                     prev_map: np.ndarray | None = None) -> SparseHam:
+    """Full sparse H over a det list, with incremental reuse.
+
+    prev: SparseHam of a previous (smaller) det list; prev_map [prev.n]
+    maps previous det indices to rows of the current list.  Only pairs
+    touching dets NOT in the previous list are joined and evaluated.
+    """
+    n = len(up)
+    # diagonal
+    diag = np.empty(n)
+    bs = 1 << 17
+    for beg in range(0, n, bs):
+        end = min(beg + bs, n)
+        bu = dets_mod.to_bits(jnp.asarray(up[beg:end]), norb)
+        bd = dets_mod.to_bits(jnp.asarray(dn[beg:end]), norb)
+        diag[beg:end] = np.asarray(slater.diag_elements(table, bu, bd))
+
+    if prev is not None and prev_map is not None and prev.n > 0:
+        # mark which current rows are new
+        is_old = np.zeros(n, dtype=bool)
+        is_old[prev_map] = True
+        # To use the contiguity trick in connected_pairs we pass a
+        # permutation placing old dets first.
+        old_rows = np.nonzero(is_old)[0]
+        new_rows = np.nonzero(~is_old)[0]
+        perm = np.concatenate([old_rows, new_rows])   # position -> cur row
+        up_p, dn_p = up[perm], dn[perm]
+        a_p, b_p = connected_pairs(up_p, dn_p, nup, ndn, norb,
+                                   new_start=len(old_rows))
+        a = perm[a_p]
+        b = perm[b_p]
+        vals = eval_pairs(table, up, dn, a, b, norb)
+        keep = vals != 0.0
+        a, b, vals = a[keep], b[keep], vals[keep]
+        # remap previous entries
+        pa = prev_map[prev.rows]
+        pb = prev_map[prev.cols]
+        lo = np.minimum(pa, pb)
+        hi = np.maximum(pa, pb)
+        rows = np.concatenate([lo, a])
+        cols = np.concatenate([hi, b])
+        v = np.concatenate([prev.vals, vals])
+    else:
+        a, b = connected_pairs(up, dn, nup, ndn, norb, new_start=0)
+        vals = eval_pairs(table, up, dn, a, b, norb)
+        keep = vals != 0.0
+        rows, cols, v = a[keep], b[keep], vals[keep]
+
+    order = np.lexsort((cols, rows))
+    return SparseHam(n=n, rows=rows[order].astype(np.int32),
+                     cols=cols[order].astype(np.int32), vals=v[order],
+                     diag=diag)

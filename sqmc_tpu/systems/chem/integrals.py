@@ -1,14 +1,20 @@
-"""Molecular integral storage with 8-fold-symmetric compact indexing.
+"""Integral storage with a uniform batched-lookup interface.
 
-Replaces the reference's node-shared flat `integrals(...)` array
-(ref: chemistry.f90:538 read_integrals, :9106 integral_index) with a
-device-resident float64 HBM array replicated per chip (TPU mapping P3 of
-SURVEY.md section 2.4) plus small dense derived matrices that turn the
-diagonal-element double loops into MXU matmuls.
+Two backends behind one dataclass:
 
-Conventions: 0-based orbital indices everywhere.  The two-electron integral
-(pq|rs) is in chemist notation, symmetric under p<->q, r<->s, (pq)<->(rs)
-- exactly the FCIDUMP symmetry.
+  * dense: molecular integrals in the 8-fold-symmetric compact array
+    (ref: chemistry.f90:538 read_integrals, :9106 integral_index), replicated
+    in each chip's HBM (TPU mapping P3 of SURVEY.md 2.4);
+  * analytic HEG: plane-wave orbitals are complex, so 8-fold symmetry does
+    NOT hold ((pq|rs) != (qp|rs)); instead (pq|rs) = V(k_p-k_q) under
+    momentum conservation is evaluated on the fly from O(norb^2) tables
+    (the reference computes these in hamiltonian_heg:845 the same way).
+
+Derived dense matrices turn diagonal elements into MXU matmuls:
+D[p,q]=(pp|qq), X[p,q]=(pq|qp), and the single-excitation tensors
+sing_dir[(p,r),q]=(pr|qq), sing_exch[(p,r),q]=(pq|qr).
+
+Conventions: 0-based orbital indices; chemist notation (pq|rs).
 """
 
 from __future__ import annotations
@@ -21,9 +27,9 @@ import numpy as np
 
 
 def pair_index(a, b):
-    """Compact symmetric pair index, 0-based: max(a,b)*(max+1)//2 + min."""
-    hi = np.maximum(a, b) if isinstance(a, np.ndarray) or isinstance(b, np.ndarray) else max(a, b)
-    lo = np.minimum(a, b) if isinstance(a, np.ndarray) or isinstance(b, np.ndarray) else min(a, b)
+    """Compact symmetric pair index, 0-based: max*(max+1)//2 + min."""
+    hi = np.maximum(a, b)
+    lo = np.minimum(a, b)
     return hi * (hi + 1) // 2 + lo
 
 
@@ -34,7 +40,6 @@ def pair_index_jnp(a, b):
 
 
 def quad_index(pq, rs):
-    """Compact index of ((pq)|(rs)) from two pair indices (host/np)."""
     hi = np.maximum(pq, rs)
     lo = np.minimum(pq, rs)
     return hi * (hi + 1) // 2 + lo
@@ -46,56 +51,92 @@ def quad_index_jnp(pq, rs):
     return hi * (hi + 1) // 2 + lo
 
 
+def n_eri(norb: int) -> int:
+    npair = norb * (norb + 1) // 2
+    return npair * (npair + 1) // 2
+
+
 @dataclasses.dataclass
 class IntegralTable:
-    """All molecular integrals for one system, ready for device use.
+    """All integrals for one system, ready for device use.
 
-    Attributes:
-      norb: number of spatial orbitals
-      core_energy: nuclear-nuclear (+frozen-core) constant
-      h: one-body integrals, dense float64 [norb, norb]
-      eri: two-body integrals, compact 8-fold float64 [npair*(npair+1)//2]
-      orb_sym: orbital irrep labels int32 [norb] (1-based, as in FCIDUMP)
-      direct: D[p,q] = (pp|qq)  float64 [norb, norb]
-      exchange: X[p,q] = (pq|qp) float64 [norb, norb]
+    Dense backend: `eri` holds the compact two-electron array.
+    HEG backend: `eri` is None; `heg_V` [norb,norb] holds V(k_p-k_q) and
+    `heg_rel` [norb,dim] the integer k-vectors.
     """
 
     norb: int
     core_energy: float
     h: jnp.ndarray
-    eri: jnp.ndarray
     orb_sym: np.ndarray
     direct: jnp.ndarray
     exchange: jnp.ndarray
+    eri: jnp.ndarray | None = None
+    sing_dir: jnp.ndarray | None = None
+    sing_exch: jnp.ndarray | None = None
+    heg_V: jnp.ndarray | None = None
+    heg_rel: jnp.ndarray | None = None
 
+    # ------------------------------------------------------------------
     @staticmethod
     def from_dense_arrays(h: np.ndarray, eri_compact: np.ndarray, core: float,
                           orb_sym: np.ndarray) -> "IntegralTable":
         norb = h.shape[0]
         p = np.arange(norb)
-        diag_pair = pair_index(p, p)  # [norb]
-        # D[p,q] = (pp|qq)
+        diag_pair = pair_index(p, p)
         D = eri_compact[quad_index(diag_pair[:, None], diag_pair[None, :])]
-        # X[p,q] = (pq|qp)
         pq = pair_index(p[:, None], p[None, :])
         X = eri_compact[quad_index(pq, pq)]
+        P, R, Q = np.meshgrid(p, p, p, indexing="ij")
+        sd = eri_compact[quad_index(pair_index(P, R), pair_index(Q, Q))]
+        se = eri_compact[quad_index(pair_index(P, Q), pair_index(Q, R))]
         return IntegralTable(
-            norb=norb,
-            core_energy=float(core),
+            norb=norb, core_energy=float(core),
             h=jnp.asarray(h, dtype=jnp.float64),
-            eri=jnp.asarray(eri_compact, dtype=jnp.float64),
             orb_sym=np.asarray(orb_sym, dtype=np.int32),
-            direct=jnp.asarray(D, dtype=jnp.float64),
-            exchange=jnp.asarray(X, dtype=jnp.float64),
+            direct=jnp.asarray(D), exchange=jnp.asarray(X),
+            eri=jnp.asarray(eri_compact, dtype=jnp.float64),
+            sing_dir=jnp.asarray(sd.reshape(norb * norb, norb)),
+            sing_exch=jnp.asarray(se.reshape(norb * norb, norb)),
         )
 
+    @staticmethod
+    def from_heg(h: np.ndarray, V: np.ndarray, k_rel: np.ndarray) -> "IntegralTable":
+        """V[p,q] = Coulomb kernel at transfer k_p-k_q (0 on the diagonal:
+        the q=0 component is cancelled by the background)."""
+        norb = h.shape[0]
+        X = V.copy()
+        np.fill_diagonal(X, 0.0)
+        return IntegralTable(
+            norb=norb, core_energy=0.0,
+            h=jnp.asarray(h, dtype=jnp.float64),
+            orb_sym=np.ones(norb, dtype=np.int32),
+            direct=jnp.asarray(np.zeros((norb, norb))),
+            exchange=jnp.asarray(X),
+            heg_V=jnp.asarray(V), heg_rel=jnp.asarray(k_rel.astype(np.int32)),
+        )
+
+    # ------------------------------------------------------------------
     def eri_value(self, p, q, r, s):
         """(pq|rs) for batched jnp index arrays (0-based)."""
-        return self.eri[quad_index_jnp(pair_index_jnp(p, q), pair_index_jnp(r, s))]
+        if self.eri is not None:
+            return self.eri[quad_index_jnp(pair_index_jnp(p, q),
+                                           pair_index_jnp(r, s))]
+        # analytic HEG: nonzero iff k_p - k_q == k_s - k_r and p != q
+        rel = self.heg_rel
+        conserve = jnp.all(rel[p] - rel[q] + rel[r] - rel[s] == 0, axis=-1)
+        return jnp.where(conserve, self.heg_V[p, q], 0.0)
 
-    # numpy-side access for host code / tests
-    def eri_np(self):
-        return np.asarray(self.eri)
+    def eri_value_np(self, p, q, r, s):
+        """Host (numpy) version of eri_value, same semantics."""
+        if self.eri is not None:
+            eri = np.asarray(self.eri)
+            return eri[quad_index(pair_index(np.asarray(p), np.asarray(q)),
+                                  pair_index(np.asarray(r), np.asarray(s)))]
+        rel = np.asarray(self.heg_rel)
+        V = np.asarray(self.heg_V)
+        conserve = np.all(rel[p] - rel[q] + rel[r] - rel[s] == 0, axis=-1)
+        return np.where(conserve, V[p, q], 0.0)
 
     def h_np(self):
         return np.asarray(self.h)
@@ -103,14 +144,11 @@ class IntegralTable:
 
 jax.tree_util.register_pytree_node(
     IntegralTable,
-    lambda t: ((t.h, t.eri, t.direct, t.exchange),
+    lambda t: ((t.h, t.direct, t.exchange, t.eri, t.sing_dir, t.sing_exch,
+                t.heg_V, t.heg_rel),
                (t.norb, t.core_energy, t.orb_sym)),
     lambda aux, ch: IntegralTable(norb=aux[0], core_energy=aux[1],
-                                  orb_sym=aux[2], h=ch[0], eri=ch[1],
-                                  direct=ch[2], exchange=ch[3]),
+                                  orb_sym=aux[2], h=ch[0], direct=ch[1],
+                                  exchange=ch[2], eri=ch[3], sing_dir=ch[4],
+                                  sing_exch=ch[5], heg_V=ch[6], heg_rel=ch[7]),
 )
-
-
-def n_eri(norb: int) -> int:
-    npair = norb * (norb + 1) // 2
-    return npair * (npair + 1) // 2

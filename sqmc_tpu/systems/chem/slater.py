@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ... import dets
-from .integrals import IntegralTable, pair_index_jnp, quad_index_jnp
+from .integrals import IntegralTable
 
 
 # ---------------------------------------------------------------------------
@@ -83,13 +83,11 @@ def single_element_no_sign(table: IntegralTable, bits_same: jnp.ndarray,
     norb = table.norb
     qs = jnp.arange(norb, dtype=jnp.int32)
 
-    pr_pair = pair_index_jnp(p, r)[:, None]                   # [B,1]
-    qq_pair = pair_index_jnp(qs, qs)[None, :]                 # [1,norb]
-    direct_row = table.eri[quad_index_jnp(pr_pair, qq_pair)]  # [B,norb] (pr|qq)
-
-    pq_pair = pair_index_jnp(p[:, None], qs[None, :])
-    qr_pair = pair_index_jnp(qs[None, :], r[:, None])
-    exch_row = table.eri[quad_index_jnp(pq_pair, qr_pair)]    # [B,norb] (pq|qr)
+    qb = jnp.broadcast_to(qs[None, :], (p.shape[0], norb))
+    pb = jnp.broadcast_to(p[:, None], qb.shape)
+    rb = jnp.broadcast_to(r[:, None], qb.shape)
+    direct_row = table.eri_value(pb, rb, qb, qb)   # [B,norb] (pr|qq)
+    exch_row = table.eri_value(pb, qb, qb, rb)     # [B,norb] (pq|qr)
 
     same = bits_same.astype(jnp.float64)
     other = bits_other.astype(jnp.float64)
