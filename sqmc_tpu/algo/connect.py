@@ -83,11 +83,11 @@ def count_doubles(hb: HeatbathTable, ref_up, ref_dn, eps, min_H, *,
     eps_b = jnp.broadcast_to(eps[:, None], start.shape)
     minH_b = jnp.broadcast_to(min_H[:, None], start.shape)
     hi = jnp.where(is_opp,
-                   rank_of_eps(hb.opp_absH, start, count, eps_b),
-                   rank_of_eps(hb.same_absH, start, count, eps_b))
+                   rank_of_eps(hb.opp_val, start, count, eps_b),
+                   rank_of_eps(hb.same_val, start, count, eps_b))
     lo = jnp.where(is_opp,
-                   rank_of_eps(hb.opp_absH, start, count, minH_b),
-                   rank_of_eps(hb.same_absH, start, count, minH_b))
+                   rank_of_eps(hb.opp_val, start, count, minH_b),
+                   rank_of_eps(hb.same_val, start, count, minH_b))
     n_emit = jnp.maximum(hi - lo, 0).astype(jnp.int64)
     return n_emit, lo, (p, q, kind, start, is_opp, swapped)
 
@@ -188,15 +188,19 @@ def emit_doubles(hb: HeatbathTable, table: IntegralTable, ref_up, ref_dn,
     c1 = wc_same(pp, r) - in_window(pp, pp, r) - in_window(qq, pp, r)
     c2 = wc_same(qq, s) - in_window(pp, qq, s) - in_window(qq, qq, s)
     gamma_same = jnp.where((c1 + c2) % 2 == 0, 1.0, -1.0)
-    val_same = gamma_same * (table.eri_value(pp, r, qq, s) - table.eri_value(pp, s, qq, r))
 
     # opposite: product of single-excitation parities per spin channel
     cu = wc(pref_up, pp, r) - in_window(pp, pp, r)
     cd = wc(pref_dn, qq, s) - in_window(qq, qq, s)
     gamma_opp = jnp.where((cu + cd) % 2 == 0, 1.0, -1.0)
-    val_opp = gamma_opp * table.eri_value(pp, r, qq, s)
 
-    helem = jnp.where(opp, val_opp, val_same)
+    # unsigned elements come straight from the (signed) heat-bath entries -
+    # no integral gathers needed (value is invariant under the opposite-spin
+    # row swap by spin symmetry)
+    val_tab = jnp.where(opp,
+                        hb.opp_val[jnp.clip(idx, 0, hb.opp_val.shape[0] - 1)],
+                        hb.same_val[jnp.clip(idx, 0, hb.same_val.shape[0] - 1)])
+    helem = jnp.where(opp, gamma_opp, gamma_same) * val_tab
     valid = valid & (helem != 0.0)
 
     return dict(new_up=new_up, new_dn=new_dn, ref=b.astype(jnp.int32),

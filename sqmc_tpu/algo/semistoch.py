@@ -1,0 +1,100 @@
+"""Trial wavefunction, deterministic space, and C(T) construction.
+
+Re-design of generate_space_iterate / generate_psi_t_connected_e_loc
+(ref: semistoch.f90:145,:27).  The reference builds Psi_T and the
+deterministic (semistochastic) space by iterated apply-H / truncate /
+rediagonalize; here both come from the HCI machinery directly (HCI *is*
+that iteration, with a principled selection criterion):
+
+  * Psi_T   = top n_psi_t dets of a loose-eps HCI wavefunction by |coef|
+  * D space = top n_imp dets of the same wavefunction
+  * projector = sparse H over D (the walk applies 1 + tau(E_T - H) exactly
+    on D each step; ref: do_walk.f90:2260-2330)
+  * C(T)    = all dets connected to Psi_T, with precomputed local-energy
+    pieces e_loc_num(j) = sum_i H_ji c_i and e_loc_den(j) = c_j
+    (ref: common_psi_t commons, psi_t_connected_e_loc_*)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..ops import setalg
+from .connect import generate_connections
+from .hci import run_hci
+from .sparseham import SparseHam, build_sparse_ham
+
+
+@dataclasses.dataclass
+class TrialWavefunction:
+    # Psi_T (sorted by det key)
+    psit_up: np.ndarray
+    psit_dn: np.ndarray
+    psit_coef: np.ndarray
+    e_trial: float                # variational energy of Psi_T
+    # C(T): connections of Psi_T incl. Psi_T itself (sorted)
+    ct_up: np.ndarray
+    ct_dn: np.ndarray
+    ct_num: np.ndarray            # sum_i H_ji c_i
+    ct_den: np.ndarray            # c_j (0 outside Psi_T)
+    # deterministic space (sorted) + projector H (COO over D)
+    imp_up: np.ndarray
+    imp_dn: np.ndarray
+    imp_ham: SparseHam
+
+
+def _top_by_coef(up, dn, coef, n_keep):
+    order = np.argsort(-np.abs(coef), kind="stable")[:n_keep]
+    u, d, c = up[order], dn[order], coef[order]
+    s = setalg.lexsort_dets(u, d)
+    return u[s], d[s], c[s]
+
+
+def build_trial_wavefunction(system, eps_var: float = 2e-3,
+                             n_psi_t: int = 200, n_imp: int = 1000,
+                             verbose: bool = False) -> TrialWavefunction:
+    """One-stop construction of Psi_T + D + C(T) for the SQMC walk."""
+    res = run_hci(system, eps_var=eps_var, eps_var_sched=[eps_var] * 10,
+                  verbose=verbose)
+    wts = res.wts[:, 0]
+
+    pu, pd, pc = _top_by_coef(res.up, res.dn, wts, n_psi_t)
+    # normalize Psi_T
+    pc = pc / np.linalg.norm(pc)
+    # Rayleigh quotient of the truncated Psi_T as e_trial seed
+    Hp = build_sparse_ham(system.table, pu, pd, system.nup, system.ndn,
+                          system.norb)
+    Hm = np.zeros((len(pu), len(pu)))
+    Hm[Hp.rows, Hp.cols] = Hp.vals
+    Hm = Hm + Hm.T + np.diag(Hp.diag)
+    e_trial = float(pc @ Hm @ pc)
+
+    iu, idn, _ = _top_by_coef(res.up, res.dn, wts, n_imp)
+    imp_ham = build_sparse_ham(system.table, iu, idn, system.nup, system.ndn,
+                               system.norb)
+
+    # C(T): all connections of Psi_T (unscreened: eps -> 0+ keeps every
+    # nonzero |H| entry of the heat-bath rows) with summed H*c
+    eps_tiny = np.full(len(pu), 1e-300)
+    cu, cd, h, ref = generate_connections(system, pu, pd,
+                                          eps_tiny / np.maximum(np.abs(pc), 1e-300))
+    contrib = h * pc[ref]
+    # include Psi_T's own rows: diagonal contributions H_jj c_j for j in T
+    # (local energy numerator includes the diagonal term; ref:
+    # semistoch.f90 generate_psi_t_connected_e_loc)
+    all_up = np.concatenate([cu, pu])
+    all_dn = np.concatenate([cd, pd])
+    diag_T = Hp.diag  # diagonal elements of Psi_T dets
+    all_num = np.concatenate([contrib, diag_T * pc])
+    cu_u, cd_u, (num,), _ = setalg.unique_dets(all_up, all_dn, [all_num])
+    # denominator: c_j at Psi_T dets
+    den = np.zeros(len(cu_u))
+    pos = setalg.search_dets(cu_u, cd_u, pu, pd)
+    den[pos] = pc
+
+    return TrialWavefunction(psit_up=pu, psit_dn=pd, psit_coef=pc,
+                             e_trial=e_trial, ct_up=cu_u, ct_dn=cd_u,
+                             ct_num=num, ct_den=den, imp_up=iu, imp_dn=idn,
+                             imp_ham=imp_ham)

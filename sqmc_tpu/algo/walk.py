@@ -1,0 +1,827 @@
+"""SQMC / FCIQMC walker propagation engine - the framework's hot loop.
+
+TPU re-design of the reference walk (ref: do_walk.f90 walk:1462, step body
+:2171-2930, move_uniform2:3538, merge_original_with_spawned2:5866,
+reduce_my_walker:7196, check_initiator:6838; heat-bath proposal
+chemistry.f90 off_diagonal_move_chem_efficient_heatbath:5086):
+
+  * walker list = fixed-capacity SoA pytree sorted by (up,dn) key; invalid
+    slots hold an all-ones sentinel key that sorts last;
+  * per-walker child counts -> prefix sum -> fixed-capacity spawn slots
+    (the data-dependent spawning loop becomes a static-shape emission);
+  * heat-bath proposal: pair ~ rowsum|H|, target (r,s) ~ |H| within the
+    row (exact joint-|H| heat bath for doubles, so every accepted double
+    spawn carries the SAME |weight| = tau*W2tot/(1-p_single) - only the
+    sign varies); singles ~ a precomputed upper-bound table U[p,r] so
+    |weight| is bounded by construction.  Proposal probabilities are exact,
+    hence the propagator is unbiased (the reference instead verifies its
+    factorized scheme per system via check_heatbath_unbiased:9330);
+  * annihilation = lexsort + segment combine with the reference's
+    initiator / imp_distance merge rules (order-independent variant:
+    group initiator = max, noted as the sanctioned alternative in
+    do_walk.f90:5898);
+  * semistochastic deterministic projection = COO matvec over the D-space
+    walker weights, applied exactly each step;
+  * population control, mixed estimator against C(T), and stochastic
+    min_wt rounding all match the reference formulas.
+
+Everything below `step()` is one jit-compiled program; the host loop only
+handles blocks, statistics, and capacity escalation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import dets
+from ..ops import setalg
+from ..systems.heatbath import tri_le, tri_lt
+from ..systems.chem import slater
+
+
+# ---------------------------------------------------------------------------
+# Configuration and state
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class WalkConfig:
+    mwalk: int                  # walker-list capacity (ref MWALK)
+    cap_spawn: int              # spawn-slot capacity per step
+    norb: int
+    nup: int
+    ndn: int
+    n_words: int
+    tau: float                  # final timestep (tau_sav)
+    w_abs_target: float         # target total |weight| (ref w_abs_gen_target)
+    r_initiator: float = 1.0
+    initiator_power: float = 0.0
+    initiator_min_distance: int = 0
+    min_wt: float = 0.5
+    always_spawn_cutoff: float = 0.5
+    pop_ctrl_exponent: float = 10.0
+    reweight_factor_inv_max: float = 2.0
+    semistochastic: bool = True
+    has_singles: bool = True
+
+    @property
+    def nelec(self):
+        return self.nup + self.ndn
+
+    @property
+    def npairs(self):
+        return (self.nup * (self.nup - 1)) // 2 + \
+               (self.ndn * (self.ndn - 1)) // 2 + self.nup * self.ndn
+
+
+class WalkTables(NamedTuple):
+    """Device-resident lookup tables (built once per run)."""
+    # heat-bath rows (signed values, |H|-descending) + per-row |H| prefix
+    # sums for in-row sampling, + row sums
+    same_rs: jnp.ndarray
+    same_val: jnp.ndarray
+    same_cum: jnp.ndarray        # inclusive cumsum of |val| within row
+    same_start: jnp.ndarray
+    same_count: jnp.ndarray
+    same_rowsum: jnp.ndarray
+    opp_rs: jnp.ndarray
+    opp_val: jnp.ndarray
+    opp_cum: jnp.ndarray
+    opp_start: jnp.ndarray
+    opp_count: jnp.ndarray
+    opp_rowsum: jnp.ndarray
+    # singles upper-bound table (chem): U[p,r] (0 if symmetry-forbidden),
+    # row sums and in-row prefix sums
+    u_table: jnp.ndarray         # [norb, norb]
+    u_cum: jnp.ndarray           # [norb, norb] inclusive row cumsum
+    u_rowsum: jnp.ndarray        # [norb]
+    # integrals (for exact single elements)
+    table: object                # IntegralTable (registered pytree)
+    # C(T) mixed-estimator cache (sorted)
+    ct_up: jnp.ndarray
+    ct_dn: jnp.ndarray
+    ct_num: jnp.ndarray
+    ct_den: jnp.ndarray
+    # deterministic space (sorted) + H COO over it
+    imp_up: jnp.ndarray
+    imp_dn: jnp.ndarray
+    imp_rows: jnp.ndarray
+    imp_cols: jnp.ndarray
+    imp_vals: jnp.ndarray
+    imp_diag: jnp.ndarray
+
+
+class WalkState(NamedTuple):
+    up: jnp.ndarray             # [M, W] uint64 (sentinel ~0 for empty)
+    dn: jnp.ndarray
+    wt: jnp.ndarray             # [M] float64
+    init: jnp.ndarray           # [M] int32: 0..3 initiator code
+    imp: jnp.ndarray            # [M] int32: 0=deterministic, -2=C(T),
+                                #   -1=spawned-from-D (transient), >=1 dist
+    diag: jnp.ndarray           # [M] float64 diagonal cache (1e51 unknown)
+    nwalk: jnp.ndarray          # scalar int32
+    key: jnp.ndarray            # PRNG key
+    e_trial: jnp.ndarray        # scalar f64
+    e_est: jnp.ndarray
+    tau: jnp.ndarray            # current timestep (variable during growth)
+    reweight_factor_inv: jnp.ndarray
+    reached_target: jnp.ndarray  # bool
+    equilibrated: jnp.ndarray    # bool: e_trial frozen
+    # estimator accumulators (reference *_blkabs_cum + current block)
+    e_num_blkabs_cum: jnp.ndarray
+    e_den_blkabs_cum: jnp.ndarray
+    e_num_blk: jnp.ndarray
+    e_den_blk: jnp.ndarray
+    w_abs_gen: jnp.ndarray
+    overflow: jnp.ndarray        # bool: capacity exceeded (host must grow)
+
+
+SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# Table construction (host)
+# ---------------------------------------------------------------------------
+
+def build_walk_tables(system, trial) -> WalkTables:
+    """Assemble device tables from a FermionSystem + TrialWavefunction."""
+    hb = system.heatbath
+    table = system.table
+    norb = system.norb
+
+    def row_cums(val, start, count):
+        """In-row inclusive |value| prefix sums over the flat ragged array
+        (robust to empty rows)."""
+        v = np.abs(np.asarray(val))
+        cum = np.cumsum(v)
+        cum0 = np.concatenate([[0.0], cum])
+        st = np.asarray(start)
+        ct = np.asarray(count).astype(np.int64)
+        offs = np.repeat(cum0[st], ct)
+        if len(offs) < len(v):   # padding entry appended by build_heatbath
+            offs = np.concatenate([offs, cum0[-2:-1]])
+        return cum - offs
+
+    s_cum = row_cums(hb.same_val, hb.same_start, hb.same_count)
+    o_cum = row_cums(hb.opp_val, hb.opp_start, hb.opp_count)
+    s_rowsum = np.zeros(len(np.asarray(hb.same_start)))
+    cnt = np.asarray(hb.same_count)
+    st = np.asarray(hb.same_start)
+    nz = cnt > 0
+    s_rowsum[nz] = s_cum[(st + cnt - 1)[nz]]
+    o_rowsum = np.zeros(len(np.asarray(hb.opp_start)))
+    cnt_o = np.asarray(hb.opp_count)
+    st_o = np.asarray(hb.opp_start)
+    nz = cnt_o > 0
+    o_rowsum[nz] = o_cum[(st_o + cnt_o - 1)[nz]]
+
+    # singles bound U[p,r] = |h_pr| + sum_q (|(pr|qq)| + |(pq|qr)|),
+    # zeroed when symmetry-forbidden or p==r
+    if system.has_singles:
+        sd = np.abs(np.asarray(table.sing_dir)).sum(axis=1).reshape(norb, norb)
+        se = np.abs(np.asarray(table.sing_exch)).sum(axis=1).reshape(norb, norb)
+        U = np.abs(np.asarray(table.h)) + sd + se
+        sym = np.asarray(system.orb_sym_arr)
+        U[sym[:, None] != sym[None, :]] = 0.0
+        np.fill_diagonal(U, 0.0)
+    else:
+        U = np.zeros((norb, norb))
+    u_cum = np.cumsum(U, axis=1)
+    u_rowsum = u_cum[:, -1]
+
+    return WalkTables(
+        same_rs=hb.same_rs, same_val=hb.same_val, same_cum=jnp.asarray(s_cum),
+        same_start=hb.same_start, same_count=hb.same_count,
+        same_rowsum=jnp.asarray(s_rowsum),
+        opp_rs=hb.opp_rs, opp_val=hb.opp_val, opp_cum=jnp.asarray(o_cum),
+        opp_start=hb.opp_start, opp_count=hb.opp_count,
+        opp_rowsum=jnp.asarray(o_rowsum),
+        u_table=jnp.asarray(U), u_cum=jnp.asarray(u_cum),
+        u_rowsum=jnp.asarray(u_rowsum),
+        table=table,
+        ct_up=jnp.asarray(trial.ct_up), ct_dn=jnp.asarray(trial.ct_dn),
+        ct_num=jnp.asarray(trial.ct_num), ct_den=jnp.asarray(trial.ct_den),
+        imp_up=jnp.asarray(trial.imp_up), imp_dn=jnp.asarray(trial.imp_dn),
+        imp_rows=jnp.asarray(trial.imp_ham.rows.astype(np.int32)),
+        imp_cols=jnp.asarray(trial.imp_ham.cols.astype(np.int32)),
+        imp_vals=jnp.asarray(trial.imp_ham.vals),
+        imp_diag=jnp.asarray(trial.imp_ham.diag),
+    )
+
+
+def init_walk_state(cfg: WalkConfig, trial, w_abs_begin: float,
+                    e_trial_initial: float, seed: int = 0) -> WalkState:
+    """Initial population: Psi_T dets weighted by coefficients, scaled to
+    total |w| = w_abs_begin (ref: do_walk.f90:1129-1368), plus all
+    deterministic-space dets at weight 0 so the projector always sees them.
+    """
+    M, W = cfg.mwalk, cfg.n_words
+    up = np.full((M, W), SENTINEL, dtype=np.uint64)
+    dn = np.full((M, W), SENTINEL, dtype=np.uint64)
+    wt = np.zeros(M)
+    init = np.zeros(M, np.int32)
+    imp = np.full(M, 10 ** 6, np.int32)
+    diag = np.full(M, 1e51)
+
+    # union of Psi_T and D-space dets, sorted
+    all_up = np.concatenate([trial.psit_up, trial.imp_up])
+    all_dn = np.concatenate([trial.psit_dn, trial.imp_dn])
+    coefs = np.concatenate([trial.psit_coef, np.zeros(len(trial.imp_up))])
+    u, d, (c,), _ = setalg.unique_dets(all_up, all_dn, [coefs])
+    scale = w_abs_begin / np.sum(np.abs(c))
+    n0 = len(u)
+    up[:n0] = u
+    dn[:n0] = d
+    wt[:n0] = c * scale
+    # membership flags
+    in_imp = ~setalg.setdiff_dets(u, d, trial.imp_up, trial.imp_dn)
+    imp[:n0] = np.where(in_imp, 0, 1)
+    init[:n0] = 2  # starting dets are initiators
+
+    return WalkState(
+        up=jnp.asarray(up), dn=jnp.asarray(dn), wt=jnp.asarray(wt),
+        init=jnp.asarray(init), imp=jnp.asarray(imp), diag=jnp.asarray(diag),
+        nwalk=jnp.asarray(n0, jnp.int32), key=jax.random.PRNGKey(seed),
+        e_trial=jnp.asarray(float(e_trial_initial)),
+        e_est=jnp.asarray(float(e_trial_initial)),
+        tau=jnp.asarray(cfg.tau * (1 + np.log(max(cfg.w_abs_target / max(w_abs_begin, 1.0), 1.0)))),
+        reweight_factor_inv=jnp.asarray(1.0),
+        reached_target=jnp.asarray(False),
+        equilibrated=jnp.asarray(False),
+        e_num_blkabs_cum=jnp.asarray(0.0), e_den_blkabs_cum=jnp.asarray(0.0),
+        e_num_blk=jnp.asarray(0.0), e_den_blk=jnp.asarray(0.0),
+        w_abs_gen=jnp.asarray(float(w_abs_begin)),
+        overflow=jnp.asarray(False),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Step kernel pieces
+# ---------------------------------------------------------------------------
+
+def _binary_search_cum(cum_gather, n, target):
+    """Smallest index i in [0,n) with cum[i] > target, via scalar-gather
+    bisection.  cum_gather(i) -> cumulative value at index i (vectorized
+    over the batch)."""
+    lo = jnp.zeros_like(n)
+    hi = n
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        v = cum_gather(mid)
+        go_right = (v <= target) & (lo < hi)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
+    return jnp.minimum(lo, jnp.maximum(n - 1, 0))
+
+
+def _searchsorted_dets(list_up, list_dn, q_up, q_dn):
+    """Index of each query det in a sorted packed det list, -1 if absent.
+    Works on the most-significant-word-first fused ordering used by
+    setalg.sort (W=1 fast path: two uint64 keys)."""
+    # build comparable u64 pairs; for W=1 compare (up, dn) lexicographically
+    lu = list_up[:, -1]  # most significant word (W=1: the only word)
+    ld = list_dn[:, -1]
+    qu = q_up[:, -1]
+    qd = q_dn[:, -1]
+    n = lu.shape[0]
+
+    def cum(i):
+        i_c = jnp.clip(i, 0, n - 1)
+        a = lu[i_c]
+        b = ld[i_c]
+        return a, b
+
+    lo = jnp.zeros(qu.shape, jnp.int32)
+    hi = jnp.full(qu.shape, n, jnp.int32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        a, b_ = cum(mid)
+        less = (a < qu) | ((a == qu) & (b_ < qd))
+        go_right = less & (lo < hi)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
+    idx = jnp.clip(lo, 0, n - 1)
+    found = (lu[idx] == qu) & (ld[idx] == qd)
+    return jnp.where(found, idx, -1)
+
+
+def _lexsort_walkers(up, dn):
+    """Sort order by (up, dn) keys, most significant first."""
+    W = up.shape[1]
+    keys = []
+    for w in range(W):
+        keys.append(dn[:, w])
+    for w in range(W):
+        keys.append(up[:, w])
+    return jnp.lexsort(tuple(keys))
+
+
+# ---------------------------------------------------------------------------
+# The step
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def walk_step(state: WalkState, tables: WalkTables, cfg: WalkConfig):
+    """One MC generation.  Returns (new_state, stats dict)."""
+    M = cfg.mwalk
+    CAP = cfg.cap_spawn
+    W = cfg.n_words
+    norb = cfg.norb
+    nup, ndn = cfg.nup, cfg.ndn
+    nelec = cfg.nelec
+    npairs = cfg.npairs
+
+    key = state.key
+    keys = jax.random.split(key, 8)
+    new_key = keys[0]
+    tau = state.tau
+    e_trial = state.e_trial
+
+    alive = jnp.arange(M) < state.nwalk
+    wt = jnp.where(alive, state.wt, 0.0)
+    absw = jnp.abs(wt)
+
+    # ---------------- deterministic projection (exact on D) ---------------
+    # find walker slots of the D-space dets (both lists sorted; D dets are
+    # always present in the walker list)
+    n_imp = tables.imp_diag.shape[0]
+    if cfg.semistochastic and n_imp > 0:
+        imp_pos = _searchsorted_dets(state.up, state.dn, tables.imp_up,
+                                     tables.imp_dn)
+        w_imp = jnp.where(imp_pos >= 0, wt[jnp.clip(imp_pos, 0, M - 1)], 0.0)
+        # deltaw = tau * (e_trial * w - H w) applied after spawning
+        Hw = tables.imp_diag * w_imp
+        Hw = Hw.at[tables.imp_rows].add(tables.imp_vals * w_imp[tables.imp_cols])
+        Hw = Hw.at[tables.imp_cols].add(tables.imp_vals * w_imp[tables.imp_rows])
+        deltaw = tau * (e_trial * w_imp - Hw)
+    else:
+        imp_pos = jnp.zeros(0, jnp.int32)
+        deltaw = jnp.zeros(0)
+
+    # ---------------- per-walker proposal normalizations -------------------
+    bits_up = dets.to_bits(state.up, norb)
+    bits_dn = dets.to_bits(state.dn, norb)
+    occ_up = dets.occ_orbitals(bits_up, nup)
+    occ_dn = dets.occ_orbitals(bits_dn, ndn)
+
+    iu, ju = np.triu_indices(nup, k=1)
+    idn, jdn = np.triu_indices(ndn, k=1)
+    io, jo = np.meshgrid(np.arange(nup), np.arange(ndn), indexing="ij")
+    p_pair = jnp.concatenate([occ_up[:, iu], occ_dn[:, idn],
+                              occ_up[:, io.ravel()]], axis=1)   # [M, npairs]
+    q_pair = jnp.concatenate([occ_up[:, ju], occ_dn[:, jdn],
+                              occ_dn[:, jo.ravel()]], axis=1)
+    n_uu = len(iu)
+    n_dd = len(idn)
+    kind_pair = jnp.concatenate([
+        jnp.zeros((M, n_uu), jnp.int32), jnp.ones((M, n_dd), jnp.int32),
+        jnp.full((M, npairs - n_uu - n_dd), 2, jnp.int32)], axis=1)
+
+    a_p = jnp.minimum(p_pair, q_pair)
+    b_p = jnp.maximum(p_pair, q_pair)
+    row_same = tri_lt(a_p, b_p)
+    row_opp = tri_le(a_p, b_p)
+    is_opp = kind_pair == 2
+    pr_start = jnp.where(is_opp, tables.opp_start[row_opp],
+                         tables.same_start[row_same])
+    pr_count = jnp.where(is_opp, tables.opp_count[row_opp],
+                         tables.same_count[row_same])
+    pr_rowsum = jnp.where(is_opp, tables.opp_rowsum[row_opp],
+                          tables.same_rowsum[row_same])
+    pair_cum = jnp.cumsum(pr_rowsum, axis=1)                 # [M, npairs]
+    W2tot = pair_cum[:, -1]
+
+    if cfg.has_singles:
+        u_rows = tables.u_rowsum[jnp.concatenate([occ_up, occ_dn], axis=1)]
+        sing_cum = jnp.cumsum(u_rows, axis=1)                # [M, nelec]
+        Utot = sing_cum[:, -1]
+    else:
+        sing_cum = jnp.zeros((M, 1))
+        Utot = jnp.zeros(M)
+
+    p_single = jnp.where(Utot + W2tot > 0, Utot / (Utot + W2tot), 0.0)
+
+    # ---------------- spawn slot allocation -------------------------------
+    u_spawn = jax.random.uniform(keys[1], (M,))
+    small = absw < cfg.always_spawn_cutoff
+    do_spawn_small = u_spawn < absw / cfg.always_spawn_cutoff
+    nchild = jnp.where(small, jnp.where(do_spawn_small, 1, 0),
+                       jnp.maximum(jnp.round(absw), 1.0)).astype(jnp.int64)
+    nchild = jnp.where(alive & (W2tot + Utot > 0), nchild, 0)
+    wt_child = jnp.where(small,
+                         jnp.sign(wt) * cfg.always_spawn_cutoff,
+                         wt / jnp.maximum(nchild, 1))
+
+    cum_child = jnp.cumsum(nchild)
+    total_spawn = cum_child[-1]
+    off_child = cum_child - nchild
+
+    t = jnp.arange(CAP, dtype=jnp.int64)
+    parent = jnp.searchsorted(cum_child, t, side="right").astype(jnp.int32)
+    parent = jnp.minimum(parent, M - 1)
+    slot_valid = t < total_spawn
+    overflow = total_spawn > CAP
+
+    # ---------------- per-slot proposal -----------------------------------
+    ub = jax.random.uniform(keys[2], (CAP,))   # branch
+    up_ = jax.random.uniform(keys[3], (CAP,))  # pair / electron select
+    ue = jax.random.uniform(keys[4], (CAP,))   # entry / orbital select
+
+    b = parent
+    if cfg.has_singles:
+        take_single = ub < p_single[b]
+    else:
+        take_single = jnp.zeros(CAP, bool)
+
+    # ---- doubles path ----
+    targ = up_ * W2tot[b]
+    pair_i = _binary_search_cum(lambda m: pair_cum[b, jnp.clip(m, 0, npairs - 1)],
+                                jnp.full(CAP, npairs, jnp.int32), targ)
+    pp = p_pair[b, pair_i]
+    qq = q_pair[b, pair_i]
+    kk = kind_pair[b, pair_i]
+    opp = kk == 2
+    st = pr_start[b, pair_i]
+    ct = pr_count[b, pair_i]
+    rsum = pr_rowsum[b, pair_i]
+
+    targ_e = ue * rsum
+    n_same = tables.same_cum.shape[0]
+    n_oppf = tables.opp_cum.shape[0]
+
+    def cum_entry(m):
+        i = st + jnp.clip(m, 0, jnp.maximum(ct - 1, 0))
+        return jnp.where(opp, tables.opp_cum[jnp.clip(i, 0, n_oppf - 1)],
+                         tables.same_cum[jnp.clip(i, 0, n_same - 1)])
+
+    rank = _binary_search_cum(cum_entry, ct, targ_e)
+    idx = st + rank
+    rs = jnp.where(opp, tables.opp_rs[jnp.clip(idx, 0, n_oppf - 1)],
+                   tables.same_rs[jnp.clip(idx, 0, n_same - 1)])
+    val_tab = jnp.where(opp, tables.opp_val[jnp.clip(idx, 0, n_oppf - 1)],
+                        tables.same_val[jnp.clip(idx, 0, n_same - 1)])
+    r_tab = (rs // norb).astype(jnp.int32)
+    s_tab = (rs % norb).astype(jnp.int32)
+    sw = opp & (pp > qq)
+    r = jnp.where(sw, s_tab, r_tab)
+    s = jnp.where(sw, r_tab, s_tab)
+
+    up_w = state.up[b]
+    dn_w = state.dn[b]
+    r_occ = jnp.where(opp | (kk == 0), dets.get_orb(up_w, r),
+                      dets.get_orb(dn_w, r))
+    s_occ = jnp.where(opp, dets.get_orb(dn_w, s),
+                      jnp.where(kk == 0, dets.get_orb(up_w, s),
+                                dets.get_orb(dn_w, s)))
+    dbl_ok = ~(r_occ | s_occ)
+
+    # fermion sign via prefix parity (same scheme as connect.emit_doubles)
+    pref_up = jnp.cumsum(bits_up.astype(jnp.int32), axis=1)
+    pref_up = jnp.concatenate([jnp.zeros((M, 1), jnp.int32), pref_up], axis=1)
+    pref_dn = jnp.cumsum(bits_dn.astype(jnp.int32), axis=1)
+    pref_dn = jnp.concatenate([jnp.zeros((M, 1), jnp.int32), pref_dn], axis=1)
+
+    def in_window(x, a_pos, b_pos):
+        lo_ = jnp.minimum(a_pos, b_pos)
+        hi_ = jnp.maximum(a_pos, b_pos)
+        return ((x >= lo_) & (x < hi_)).astype(jnp.int32)
+
+    def wc(pref, a_pos, b_pos):
+        lo_ = jnp.minimum(a_pos, b_pos)
+        hi_ = jnp.maximum(a_pos, b_pos)
+        return pref[b, hi_] - pref[b, lo_]
+
+    same_up_k = kk == 0
+    wc_same = jnp.where(same_up_k, wc(pref_up, pp, r), wc(pref_dn, pp, r))
+    wc_same2 = jnp.where(same_up_k, wc(pref_up, qq, s), wc(pref_dn, qq, s))
+    c1 = wc_same - in_window(pp, pp, r) - in_window(qq, pp, r)
+    c2 = wc_same2 - in_window(pp, qq, s) - in_window(qq, qq, s)
+    gamma_same = jnp.where((c1 + c2) % 2 == 0, 1.0, -1.0)
+    cu_ = wc(pref_up, pp, r) - in_window(pp, pp, r)
+    cd_ = wc(pref_dn, qq, s) - in_window(qq, qq, s)
+    gamma_opp = jnp.where((cu_ + cd_) % 2 == 0, 1.0, -1.0)
+    h_signed_dbl = jnp.where(opp, gamma_opp, gamma_same) * val_tab
+
+    # weight: -tau H / p with p = (1-p_single) |H| / W2tot
+    w_dbl = -tau * jnp.sign(h_signed_dbl) * W2tot[b] / jnp.maximum(1.0 - p_single[b], 1e-300)
+
+    dbl_up = jnp.where(opp[:, None],
+                       dets.set_orb(dets.clear_orb(up_w, pp), r),
+                       jnp.where(same_up_k[:, None],
+                                 dets.set_orb(dets.set_orb(dets.clear_orb(dets.clear_orb(up_w, pp), qq), r), s),
+                                 up_w))
+    dbl_dn = jnp.where(opp[:, None],
+                       dets.set_orb(dets.clear_orb(dn_w, qq), s),
+                       jnp.where(same_up_k[:, None], dn_w,
+                                 dets.set_orb(dets.set_orb(dets.clear_orb(dets.clear_orb(dn_w, pp), qq), r), s)))
+
+    # ---- singles path (chem) ----
+    if cfg.has_singles:
+        occ_all = jnp.concatenate([occ_up, occ_dn], axis=1)   # [M, nelec]
+        targ_s = up_ * Utot[b]
+        e_i = _binary_search_cum(lambda m: sing_cum[b, jnp.clip(m, 0, nelec - 1)],
+                                 jnp.full(CAP, nelec, jnp.int32), targ_s)
+        p_s = occ_all[b, e_i]
+        e_up = e_i < nup
+        targ_r = ue * tables.u_rowsum[p_s]
+        r_s = _binary_search_cum(lambda m: tables.u_cum[p_s, jnp.clip(m, 0, norb - 1)],
+                                 jnp.full(CAP, norb, jnp.int32), targ_r)
+        r_s = r_s.astype(jnp.int32)
+        r_s_occ = jnp.where(e_up, bits_up[b, r_s] != 0, bits_dn[b, r_s] != 0)
+        # exact single element
+        bits_same_sl = jnp.where(e_up[:, None], bits_up[b], bits_dn[b])
+        bits_other_sl = jnp.where(e_up[:, None], bits_dn[b], bits_up[b])
+        h_sng = slater.single_element(tables.table, bits_same_sl,
+                                      bits_other_sl, p_s, r_s)
+        p_sel_sng = p_single[b] * tables.u_table[p_s, r_s] / jnp.maximum(Utot[b], 1e-300)
+        w_sng = -tau * h_sng / jnp.maximum(p_sel_sng, 1e-300)
+        moved_up = dets.set_orb(dets.clear_orb(up_w, p_s), r_s)
+        moved_dn = dets.set_orb(dets.clear_orb(dn_w, p_s), r_s)
+        sng_up = jnp.where(e_up[:, None], moved_up, up_w)
+        sng_dn = jnp.where(e_up[:, None], dn_w, moved_dn)
+        sng_ok = (~r_s_occ) & (tables.u_table[p_s, r_s] > 0)
+    else:
+        sng_up = dbl_up
+        sng_dn = dbl_dn
+        w_sng = jnp.zeros(CAP)
+        sng_ok = jnp.zeros(CAP, bool)
+
+    # combine branches
+    spawn_up = jnp.where(take_single[:, None], sng_up, dbl_up)
+    spawn_dn = jnp.where(take_single[:, None], sng_dn, dbl_dn)
+    spawn_ok = jnp.where(take_single, sng_ok, dbl_ok) & slot_valid
+    spawn_wt = jnp.where(take_single, w_sng, w_dbl) * wt_child[b]
+    spawn_wt = jnp.where(spawn_ok, spawn_wt, 0.0)
+
+    # child flags (ref: do_walk.f90:3700-3730)
+    par_imp = state.imp[b]
+    child_imp = jnp.where(par_imp == -2, 2,
+                          jnp.minimum(par_imp, 125) + 1)
+    child_imp = jnp.where(cfg.semistochastic & (par_imp == 0), -1, child_imp)
+    child_init = jnp.where(state.init[b] >= 2, 1, 0).astype(jnp.int32)
+
+    spawn_up = jnp.where(spawn_ok[:, None], spawn_up, jnp.uint64(SENTINEL))
+    spawn_dn = jnp.where(spawn_ok[:, None], spawn_dn, jnp.uint64(SENTINEL))
+    child_imp = jnp.where(spawn_ok, child_imp, 10 ** 6)
+    child_init = jnp.where(spawn_ok, child_init, 0)
+
+    # ---------------- diagonal move + projection on parents ----------------
+    # compute unknown diagonal elements
+    need_diag = (state.diag > 1e50) & alive & (state.imp >= 1)
+    diag_new = slater.diag_elements(tables.table, bits_up, bits_dn)
+    diag = jnp.where(need_diag, diag_new, state.diag)
+    diag_factor = 1.0 + tau * (e_trial - diag)
+    diag_factor = jnp.maximum(diag_factor, 0.0)   # clamp (ref :3788)
+    wt_par = jnp.where(alive & (state.imp >= 1), wt * diag_factor, wt)
+    # exact projection on D-space walkers
+    if cfg.semistochastic and n_imp > 0:
+        safe_pos = jnp.clip(imp_pos, 0, M - 1)
+        wt_par = wt_par.at[safe_pos].add(jnp.where(imp_pos >= 0, deltaw, 0.0))
+
+    # ---------------- merge (annihilation) --------------------------------
+    all_up = jnp.concatenate([jnp.where(alive[:, None], state.up, jnp.uint64(SENTINEL)), spawn_up])
+    all_dn = jnp.concatenate([jnp.where(alive[:, None], state.dn, jnp.uint64(SENTINEL)), spawn_dn])
+    all_wt = jnp.concatenate([wt_par, spawn_wt])
+    all_init = jnp.concatenate([jnp.where(alive, state.init, 0), child_init])
+    all_imp = jnp.concatenate([jnp.where(alive, state.imp, 10 ** 6), child_imp])
+    all_diag = jnp.concatenate([diag, jnp.full(CAP, 1e51)])
+    is_entry = jnp.concatenate([alive, spawn_ok])
+
+    order = _lexsort_walkers(all_up, all_dn)
+    s_up = all_up[order]
+    s_dn = all_dn[order]
+    s_wt = all_wt[order]
+    s_init = all_init[order]
+    s_imp = all_imp[order]
+    s_diag = all_diag[order]
+    s_is = is_entry[order]
+
+    N = M + CAP
+    neq = jnp.ones(N, bool)
+    neq = neq.at[1:].set(jnp.any(s_up[1:] != s_up[:-1], axis=1) |
+                         jnp.any(s_dn[1:] != s_dn[:-1], axis=1))
+    gid = jnp.cumsum(neq.astype(jnp.int32)) - 1
+    n_groups = gid[-1] + 1
+
+    # D-space membership of each entry's det (for the -1 discard rule and
+    # imp codes); C(T) membership for imp=-2
+    if cfg.semistochastic and n_imp > 0:
+        in_D = _searchsorted_dets(tables.imp_up, tables.imp_dn, s_up, s_dn) >= 0
+    else:
+        in_D = jnp.zeros(N, bool)
+
+    # discard stochastic D->D spawns (ref merge rule :5947)
+    drop = (s_imp == -1) & in_D
+    wt_contrib = jnp.where(s_is & ~drop, s_wt, 0.0)
+
+    g_wt = jax.ops.segment_sum(wt_contrib, gid, num_segments=N)
+    g_init = jax.ops.segment_max(jnp.where(s_is, s_init, 0), gid, num_segments=N)
+    imp_eff = jnp.where(s_imp == -1, 1, s_imp)
+    has_m2 = jax.ops.segment_max(jnp.where(s_is & (s_imp == -2), 1, 0), gid,
+                                 num_segments=N)
+    g_imp_min = jax.ops.segment_min(jnp.where(s_is, jnp.abs(imp_eff), 10 ** 6),
+                                    gid, num_segments=N)
+    g_diag = jax.ops.segment_min(jnp.where(s_is, s_diag, 1e51), gid,
+                                 num_segments=N)
+    # the group's det = the first sorted row of the group
+    first_idx = jax.ops.segment_min(
+        jnp.arange(N, dtype=jnp.int32), gid, num_segments=N)
+    first_idx = jnp.clip(first_idx, 0, N - 1)
+    g_up = s_up[first_idx]
+    g_dn = s_dn[first_idx]
+    g_in_D = jax.ops.segment_max(in_D.astype(jnp.int32), gid, num_segments=N) > 0
+    g_valid = jax.ops.segment_max(s_is.astype(jnp.int32), gid, num_segments=N) > 0
+
+    g_imp = jnp.where(g_in_D, 0, jnp.where(has_m2 > 0, -2, g_imp_min))
+
+    # initiator threshold update (ref check_initiator:6838)
+    thr = cfg.r_initiator * jnp.maximum(
+        0, g_imp - cfg.initiator_min_distance).astype(jnp.float64) ** cfg.initiator_power
+    absg = jnp.abs(g_wt)
+    demote = (g_init == 2) & (((absg <= thr) & (g_imp > 0)) |
+                              ((absg <= cfg.r_initiator) & (g_imp == -2)))
+    promote = (g_init < 2) & (((absg > thr) & (g_imp >= 0)) |
+                              ((absg > cfg.r_initiator) & (g_imp == -2)))
+    g_init = jnp.where(demote, 1, jnp.where(promote, g_init + 1, g_init))
+
+    keep = g_valid & ~(((g_wt == 0.0) | (g_init == 0)) & (g_imp >= 1))
+
+    # ---------------- stochastic min_wt rounding (reduce_my_walker) -------
+    u_red = jax.random.uniform(keys[5], (N,))
+    tiny = keep & (g_imp >= 1) & (jnp.abs(g_wt) < cfg.min_wt)
+    kill = tiny & (u_red >= jnp.abs(g_wt) / cfg.min_wt)
+    g_wt = jnp.where(tiny & ~kill, jnp.sign(g_wt) * cfg.min_wt, g_wt)
+    keep = keep & ~kill
+
+    # ---------------- compact to [M] ---------------------------------------
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    nwalk_new = jnp.sum(keep).astype(jnp.int32)
+    overflow = overflow | (nwalk_new > M)
+    # out-of-range destinations are dropped by scatter mode="drop"
+    dest = jnp.where(keep, pos, M)
+
+    out_up = jnp.full((M, W), jnp.uint64(SENTINEL)).at[dest].set(g_up, mode="drop")
+    out_dn = jnp.full((M, W), jnp.uint64(SENTINEL)).at[dest].set(g_dn, mode="drop")
+    out_wt = jnp.zeros(M).at[dest].set(g_wt, mode="drop")
+    out_init = jnp.zeros(M, jnp.int32).at[dest].set(g_init, mode="drop")
+    out_imp = jnp.full(M, 10 ** 6, jnp.int32).at[dest].set(g_imp, mode="drop")
+    out_diag = jnp.full(M, 1e51).at[dest].set(g_diag, mode="drop")
+
+    # ---------------- reweight ---------------------------------------------
+    out_wt = out_wt * state.reweight_factor_inv
+
+    # ---------------- estimators -------------------------------------------
+    ct_idx = _searchsorted_dets(tables.ct_up, tables.ct_dn, out_up, out_dn)
+    n_ct = tables.ct_num.shape[0]
+    safe_ct = jnp.clip(ct_idx, 0, n_ct - 1)
+    match = ct_idx >= 0
+    e_num_gen = jnp.sum(jnp.where(match, tables.ct_num[safe_ct] * out_wt, 0.0))
+    e_den_gen = jnp.sum(jnp.where(match, tables.ct_den[safe_ct] * out_wt, 0.0))
+    w_abs_gen = jnp.sum(jnp.abs(out_wt))
+
+    e_num_blk = state.e_num_blk + e_num_gen
+    e_den_blk = state.e_den_blk + e_den_gen
+
+    # e_est (ref :2880): blkabs-cumulative mixed estimator
+    e_est = jnp.where(
+        state.e_den_blkabs_cum + jnp.abs(e_den_blk) != 0,
+        (state.e_num_blkabs_cum + e_num_blk * jnp.sign(e_den_blk)) /
+        (state.e_den_blkabs_cum + jnp.abs(e_den_blk)),
+        state.e_est)
+
+    # ---------------- population control -----------------------------------
+    # e_trial update only while not equilibrated (ref :2889)
+    e_trial_new = jnp.where(
+        state.equilibrated, e_trial,
+        e_trial + jnp.sign(e_est - e_trial) * jnp.minimum(jnp.abs(e_est - e_trial), 1.0))
+    pexp = jnp.minimum(1.0, tau * cfg.pop_ctrl_exponent)
+    ratio = (cfg.w_abs_target / jnp.maximum(w_abs_gen, 1e-300)) ** pexp
+    rw_eq = jnp.clip(ratio, 0.5, 2.0)
+    rw_main = jnp.clip(ratio / (1.0 + tau * (e_trial_new - e_est)), 0.5, 2.0)
+    reweight = jnp.where(state.equilibrated, rw_main, rw_eq)
+    reweight = jnp.minimum(reweight, cfg.reweight_factor_inv_max)
+
+    # variable tau during initial growth (ref :2178)
+    reached = state.reached_target | (w_abs_gen >= cfg.w_abs_target)
+    tau_new = jnp.where(reached, cfg.tau,
+                        cfg.tau * (1.0 + jnp.log(jnp.maximum(
+                            cfg.w_abs_target / jnp.maximum(w_abs_gen, 1.0), 1.0))))
+
+    new_state = WalkState(
+        up=out_up, dn=out_dn, wt=out_wt, init=out_init, imp=out_imp,
+        diag=out_diag, nwalk=nwalk_new, key=new_key,
+        e_trial=e_trial_new, e_est=e_est, tau=tau_new,
+        reweight_factor_inv=reweight, reached_target=reached,
+        equilibrated=state.equilibrated,
+        e_num_blkabs_cum=state.e_num_blkabs_cum,
+        e_den_blkabs_cum=state.e_den_blkabs_cum,
+        e_num_blk=e_num_blk, e_den_blk=e_den_blk,
+        w_abs_gen=w_abs_gen,
+        overflow=state.overflow | overflow,
+    )
+    stats = dict(e_num_gen=e_num_gen, e_den_gen=e_den_gen,
+                 w_abs_gen=w_abs_gen, nwalk=nwalk_new,
+                 e_gen=e_num_gen / jnp.where(e_den_gen == 0, 1e-300, e_den_gen),
+                 n_spawn=total_spawn)
+    return new_state, stats
+
+
+def end_of_block(state: WalkState) -> WalkState:
+    """Roll the block accumulators into the blkabs cumulants
+    (ref: do_walk.f90 block-end bookkeeping)."""
+    return state._replace(
+        e_num_blkabs_cum=state.e_num_blkabs_cum +
+        state.e_num_blk * jnp.sign(state.e_den_blk),
+        e_den_blkabs_cum=state.e_den_blkabs_cum + jnp.abs(state.e_den_blk),
+        e_num_blk=jnp.asarray(0.0), e_den_blk=jnp.asarray(0.0))
+
+
+# ---------------------------------------------------------------------------
+# Host driver
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class WalkResult:
+    e_mixed: float
+    e_err: float
+    e_blocks: np.ndarray
+    w_abs_trace: np.ndarray
+    nwalk_trace: np.ndarray
+    steps_per_sec: float
+    state: WalkState
+
+
+def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
+             nblk_eq: int, w_abs_begin: float, e_trial_initial: float,
+             seed: int = 0, verbose: bool = True) -> WalkResult:
+    """Block/step driver with equilibration (ref: do_walk.f90:2113).
+
+    Energy estimate: ratio of block sums of e_num/e_den with blocking error
+    (ref blocking analysis :2952).
+    """
+    import time
+
+    tables = build_walk_tables(system, trial)
+    state = init_walk_state(cfg, trial, w_abs_begin, e_trial_initial, seed)
+
+    e_blocks = []
+    w_trace, n_trace = [], []
+    t_measured = 0.0
+    n_measured = 0
+
+    for iblk in range(nblk_eq + nblk):
+        equil = iblk < nblk_eq
+        if not equil:
+            state = state._replace(equilibrated=jnp.asarray(True))
+        blk_num = 0.0
+        blk_den = 0.0
+        t0 = time.time()
+        for istep in range(nstep):
+            state, stats = walk_step(state, tables, cfg)
+            blk_num += float(stats["e_num_gen"])
+            blk_den += float(stats["e_den_gen"])
+            w_trace.append(float(stats["w_abs_gen"]))
+            n_trace.append(int(stats["nwalk"]))
+        jax.block_until_ready(state.wt)
+        dt = time.time() - t0
+        if not equil:
+            t_measured += dt
+            n_measured += nstep
+        if bool(state.overflow):
+            raise RuntimeError("walker/spawn capacity exceeded; increase "
+                               "mwalk/cap_spawn")
+        if not equil:
+            e_blocks.append(blk_num / blk_den if blk_den != 0 else np.nan)
+        state = end_of_block(state)
+        if verbose:
+            print(f"block {iblk + 1}{' (eq)' if equil else ''}: "
+                  f"e_blk={blk_num / max(abs(blk_den), 1e-300) * np.sign(blk_den) if blk_den else float('nan'):.6f} "
+                  f"e_est={float(state.e_est):.6f} "
+                  f"e_trial={float(state.e_trial):.6f} "
+                  f"w_abs={float(state.w_abs_gen):.1f} nwalk={int(state.nwalk)} "
+                  f"steps/s={nstep / dt:.1f}", flush=True)
+
+    e_blocks = np.asarray(e_blocks)
+    e_mean = float(np.mean(e_blocks))
+    e_err = float(np.std(e_blocks, ddof=1) / np.sqrt(len(e_blocks))) \
+        if len(e_blocks) > 1 else float("nan")
+    return WalkResult(e_mixed=e_mean, e_err=e_err, e_blocks=e_blocks,
+                      w_abs_trace=np.asarray(w_trace),
+                      nwalk_trace=np.asarray(n_trace),
+                      steps_per_sec=n_measured / t_measured if t_measured else 0.0,
+                      state=state)

@@ -142,13 +142,16 @@ class IntegralTable:
         return np.asarray(self.h)
 
 
+# orb_sym is stored as a tuple in the static aux data so pytree metadata
+# stays hashable (jit cache keys compare aux by equality)
 jax.tree_util.register_pytree_node(
     IntegralTable,
     lambda t: ((t.h, t.direct, t.exchange, t.eri, t.sing_dir, t.sing_exch,
                 t.heg_V, t.heg_rel),
-               (t.norb, t.core_energy, t.orb_sym)),
+               (t.norb, t.core_energy, tuple(np.asarray(t.orb_sym).tolist()))),
     lambda aux, ch: IntegralTable(norb=aux[0], core_energy=aux[1],
-                                  orb_sym=aux[2], h=ch[0], direct=ch[1],
+                                  orb_sym=np.asarray(aux[2], dtype=np.int32),
+                                  h=ch[0], direct=ch[1],
                                   exchange=ch[2], eri=ch[3], sing_dir=ch[4],
                                   sing_exch=ch[5], heg_V=ch[6], heg_rel=ch[7]),
 )

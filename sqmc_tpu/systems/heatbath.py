@@ -44,7 +44,8 @@ class HeatbathTable:
     """Flat ragged heat-bath tables on device.
 
     same_rs / opp_rs: int32 [total], packed r*norb+s target pairs
-    same_absH / opp_absH: float64 [total], descending within each row
+    same_val / opp_val: float64 [total], SIGNED no-reference elements,
+      |value|-descending within each row
     same_start / opp_start: int64 [n_rows], row offsets
     same_count / opp_count: int32 [n_rows]
     max_double: float, largest |H| over all rows (early-out threshold,
@@ -53,11 +54,11 @@ class HeatbathTable:
 
     norb: int
     same_rs: jnp.ndarray
-    same_absH: jnp.ndarray
+    same_val: jnp.ndarray
     same_start: jnp.ndarray
     same_count: jnp.ndarray
     opp_rs: jnp.ndarray
-    opp_absH: jnp.ndarray
+    opp_val: jnp.ndarray
     opp_start: jnp.ndarray
     opp_count: jnp.ndarray
     max_double: float
@@ -65,8 +66,8 @@ class HeatbathTable:
 
 jax.tree_util.register_pytree_node(
     HeatbathTable,
-    lambda t: ((t.same_rs, t.same_absH, t.same_start, t.same_count,
-                t.opp_rs, t.opp_absH, t.opp_start, t.opp_count),
+    lambda t: ((t.same_rs, t.same_val, t.same_start, t.same_count,
+                t.opp_rs, t.opp_val, t.opp_start, t.opp_count),
                (t.norb, t.max_double)),
     lambda aux, ch: HeatbathTable(aux[0], *ch[:4], *ch[4:], aux[1]),
 )
@@ -80,46 +81,48 @@ def build_heatbath(table: IntegralTable) -> HeatbathTable:
     rr, ss = np.meshgrid(np.arange(norb), np.arange(norb), indexing="ij")
 
     # ---- same spin: pairs p<q ----
+    # Values stored SIGNED (the no-reference element (pr|qs)-(ps|qr));
+    # rows sorted by |H| descending so an eps cut is a prefix.  The fermion
+    # sign relative to a reference det is applied at generation/sampling
+    # time via the prefix-sum parity kernels.
     same_rows_rs, same_rows_h, same_counts = [], [], []
     max_double = 0.0
     tri_mask = rr < ss  # candidate target pairs r<s
     for q in range(norb):
         for p in range(q):
-            H = np.abs(eri_v(p, rr, q, ss) - eri_v(p, ss, q, rr))
+            H = eri_v(p, rr, q, ss) - eri_v(p, ss, q, rr)
             H = np.where(tri_mask, H, 0.0)
             # exclude targets overlapping the source pair (p,q->r,s requires
-            # all four distinct; overlapping entries have H contributions that
-            # the generation path must not double count).  The reference's
-            # no_ref element returns 0 when indices coincide
-            # (chemistry.f90:9625).
+            # all four distinct; ref: chemistry.f90:9625 no_ref element
+            # returns 0 when indices coincide).
             for o in (p, q):
                 H[o, :] = 0.0
                 H[:, o] = 0.0
-            r_i, s_i = np.nonzero(H > 0)
+            r_i, s_i = np.nonzero(H != 0)
             h = H[r_i, s_i]
-            order = np.argsort(-h, kind="stable")
+            order = np.argsort(-np.abs(h), kind="stable")
             same_rows_rs.append((r_i * norb + s_i)[order].astype(np.int32))
             same_rows_h.append(h[order])
             same_counts.append(len(h))
             if len(h):
-                max_double = max(max_double, h[order[0]])
+                max_double = max(max_double, abs(h[order[0]]))
 
     # ---- opposite spin: pairs a<=b, a up -> r, b dn -> s ----
     opp_rows_rs, opp_rows_h, opp_counts = [], [], []
     for b in range(norb):
         for a in range(b + 1):
-            H = np.abs(eri_v(a, rr, b, ss))
+            H = eri_v(a, rr, b, ss).astype(np.float64).copy()
             # exclude r==a (no excitation in up) and s==b
             H[a, :] = 0.0
             H[:, b] = 0.0
-            r_i, s_i = np.nonzero(H > 0)
+            r_i, s_i = np.nonzero(H != 0)
             h = H[r_i, s_i]
-            order = np.argsort(-h, kind="stable")
+            order = np.argsort(-np.abs(h), kind="stable")
             opp_rows_rs.append((r_i * norb + s_i)[order].astype(np.int32))
             opp_rows_h.append(h[order])
             opp_counts.append(len(h))
             if len(h):
-                max_double = max(max_double, h[order[0]])
+                max_double = max(max_double, abs(h[order[0]]))
 
     def _flat(rows_rs, rows_h, counts):
         counts = np.asarray(counts, dtype=np.int64)
@@ -128,6 +131,9 @@ def build_heatbath(table: IntegralTable) -> HeatbathTable:
             start[1:] = np.cumsum(counts[:-1])
         rs = np.concatenate(rows_rs) if rows_rs else np.zeros(0, np.int32)
         h = np.concatenate(rows_h) if rows_h else np.zeros(0, np.float64)
+        if len(rs) == 0:   # keep flat arrays non-empty so gathers stay legal
+            rs = np.zeros(1, np.int32)
+            h = np.zeros(1, np.float64)
         return rs, h, start, counts.astype(np.int32)
 
     s_rs, s_h, s_st, s_ct = _flat(same_rows_rs, same_rows_h, np.asarray(same_counts))
@@ -135,15 +141,15 @@ def build_heatbath(table: IntegralTable) -> HeatbathTable:
 
     return HeatbathTable(
         norb=norb,
-        same_rs=jnp.asarray(s_rs), same_absH=jnp.asarray(s_h),
+        same_rs=jnp.asarray(s_rs), same_val=jnp.asarray(s_h),
         same_start=jnp.asarray(s_st), same_count=jnp.asarray(s_ct),
-        opp_rs=jnp.asarray(o_rs), opp_absH=jnp.asarray(o_h),
+        opp_rs=jnp.asarray(o_rs), opp_val=jnp.asarray(o_h),
         opp_start=jnp.asarray(o_st), opp_count=jnp.asarray(o_ct),
         max_double=float(max_double),
     )
 
 
-def rank_of_eps(absH_flat: jnp.ndarray, start: jnp.ndarray, count: jnp.ndarray,
+def rank_of_eps(val_flat: jnp.ndarray, start: jnp.ndarray, count: jnp.ndarray,
                 eps: jnp.ndarray, strict: bool = True) -> jnp.ndarray:
     """Number of leading entries of each (descending) row with |H| > eps
     (strict=True; the doubles scan uses 'exit when <= eps',
@@ -152,15 +158,16 @@ def rank_of_eps(absH_flat: jnp.ndarray, start: jnp.ndarray, count: jnp.ndarray,
     start/count: [...] row descriptors (gathered); eps: [...] same shape.
     Returns int32 [...] counts.
     """
+    nflat = val_flat.shape[0]
+    if nflat == 0:
+        return jnp.zeros(count.shape, jnp.int32)
     lo = jnp.zeros_like(count)
     hi = count
-
-    nflat = absH_flat.shape[0]
 
     def body(_, lohi):
         lo, hi = lohi
         mid = (lo + hi) // 2
-        v = absH_flat[jnp.clip(start + mid, 0, nflat - 1)]
+        v = jnp.abs(val_flat[jnp.clip(start + mid, 0, nflat - 1)])
         take = (v > eps) if strict else (v >= eps)
         take = take & (lo < hi)
         lo = jnp.where(take, mid + 1, lo)
