@@ -98,3 +98,27 @@ def build_trial_wavefunction(system, eps_var: float = 2e-3,
                              e_trial=e_trial, ct_up=cu_u, ct_dn=cd_u,
                              ct_num=num, ct_den=den, imp_up=iu, imp_dn=idn,
                              imp_ham=imp_ham)
+
+
+def save_trial(trial: TrialWavefunction, path: str):
+    """Serialize a trial wavefunction (the SQMC checkpoint analog of the
+    reference's psit/psit_connections/dtm_projector files; ref:
+    commons/common_psi_t.f90:14-19)."""
+    np.savez_compressed(
+        path, psit_up=trial.psit_up, psit_dn=trial.psit_dn,
+        psit_coef=trial.psit_coef, e_trial=trial.e_trial,
+        ct_up=trial.ct_up, ct_dn=trial.ct_dn, ct_num=trial.ct_num,
+        ct_den=trial.ct_den, imp_up=trial.imp_up, imp_dn=trial.imp_dn,
+        h_rows=trial.imp_ham.rows, h_cols=trial.imp_ham.cols,
+        h_vals=trial.imp_ham.vals, h_diag=trial.imp_ham.diag)
+
+
+def load_trial(path: str) -> TrialWavefunction:
+    z = np.load(path)
+    ham = SparseHam(n=len(z["imp_up"]), rows=z["h_rows"], cols=z["h_cols"],
+                    vals=z["h_vals"], diag=z["h_diag"])
+    return TrialWavefunction(
+        psit_up=z["psit_up"], psit_dn=z["psit_dn"], psit_coef=z["psit_coef"],
+        e_trial=float(z["e_trial"]), ct_up=z["ct_up"], ct_dn=z["ct_dn"],
+        ct_num=z["ct_num"], ct_den=z["ct_den"], imp_up=z["imp_up"],
+        imp_dn=z["imp_dn"], imp_ham=ham)

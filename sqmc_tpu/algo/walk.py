@@ -68,6 +68,11 @@ class WalkConfig:
     reweight_factor_inv_max: float = 2.0
     semistochastic: bool = True
     has_singles: bool = True
+    # determinant sharding over a mesh axis (SURVEY P1/P2): when axis_name
+    # is set, mwalk/cap_spawn are PER-SHARD capacities, spawns are routed
+    # to their owner shard by all_to_all, and control scalars are psummed
+    axis_name: str | None = None
+    n_dev: int = 1
 
     @property
     def nelec(self):
@@ -107,13 +112,14 @@ class WalkTables(NamedTuple):
     ct_dn: jnp.ndarray
     ct_num: jnp.ndarray
     ct_den: jnp.ndarray
-    # deterministic space (sorted) + H COO over it
+    # deterministic space (sorted, local shard) + row-complete symmetric
+    # H COO: Hw[r] = sum vals * w[cols], diag included; cols index the
+    # (all-gathered when sharded) D-space weight vector
     imp_up: jnp.ndarray
     imp_dn: jnp.ndarray
     imp_rows: jnp.ndarray
     imp_cols: jnp.ndarray
     imp_vals: jnp.ndarray
-    imp_diag: jnp.ndarray
 
 
 class WalkState(NamedTuple):
@@ -194,6 +200,14 @@ def build_walk_tables(system, trial) -> WalkTables:
     u_cum = np.cumsum(U, axis=1)
     u_rowsum = u_cum[:, -1]
 
+    # row-complete symmetric COO (diag + both orientations of the stored
+    # upper triangle) so the projection is a single segment-sum
+    n_imp = len(trial.imp_up)
+    H = trial.imp_ham
+    r_all = np.concatenate([H.rows, H.cols, np.arange(n_imp)]).astype(np.int32)
+    c_all = np.concatenate([H.cols, H.rows, np.arange(n_imp)]).astype(np.int32)
+    v_all = np.concatenate([H.vals, H.vals, H.diag])
+
     return WalkTables(
         same_rs=hb.same_rs, same_val=hb.same_val, same_cum=jnp.asarray(s_cum),
         same_start=hb.same_start, same_count=hb.same_count,
@@ -207,10 +221,8 @@ def build_walk_tables(system, trial) -> WalkTables:
         ct_up=jnp.asarray(trial.ct_up), ct_dn=jnp.asarray(trial.ct_dn),
         ct_num=jnp.asarray(trial.ct_num), ct_den=jnp.asarray(trial.ct_den),
         imp_up=jnp.asarray(trial.imp_up), imp_dn=jnp.asarray(trial.imp_dn),
-        imp_rows=jnp.asarray(trial.imp_ham.rows.astype(np.int32)),
-        imp_cols=jnp.asarray(trial.imp_ham.cols.astype(np.int32)),
-        imp_vals=jnp.asarray(trial.imp_ham.vals),
-        imp_diag=jnp.asarray(trial.imp_ham.diag),
+        imp_rows=jnp.asarray(r_all), imp_cols=jnp.asarray(c_all),
+        imp_vals=jnp.asarray(v_all),
     )
 
 
@@ -357,17 +369,21 @@ def walk_step(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     absw = jnp.abs(wt)
 
     # ---------------- deterministic projection (exact on D) ---------------
-    # find walker slots of the D-space dets (both lists sorted; D dets are
-    # always present in the walker list)
-    n_imp = tables.imp_diag.shape[0]
+    # find walker slots of the (local-shard) D-space dets; both lists are
+    # sorted and D dets are always present in the walker list
+    n_imp = tables.imp_up.shape[0]
     if cfg.semistochastic and n_imp > 0:
         imp_pos = _searchsorted_dets(state.up, state.dn, tables.imp_up,
                                      tables.imp_dn)
         w_imp = jnp.where(imp_pos >= 0, wt[jnp.clip(imp_pos, 0, M - 1)], 0.0)
-        # deltaw = tau * (e_trial * w - H w) applied after spawning
-        Hw = tables.imp_diag * w_imp
-        Hw = Hw.at[tables.imp_rows].add(tables.imp_vals * w_imp[tables.imp_cols])
-        Hw = Hw.at[tables.imp_cols].add(tables.imp_vals * w_imp[tables.imp_rows])
+        if cfg.axis_name is not None:
+            # columns index the all-gathered global D-weight vector (P4)
+            w_vec = jax.lax.all_gather(w_imp, cfg.axis_name).reshape(-1)
+        else:
+            w_vec = w_imp
+        # deltaw = tau * (e_trial * w - H w), H row-complete incl. diagonal
+        Hw = jax.ops.segment_sum(tables.imp_vals * w_vec[tables.imp_cols],
+                                 tables.imp_rows, num_segments=n_imp)
         deltaw = tau * (e_trial * w_imp - Hw)
     else:
         imp_pos = jnp.zeros(0, jnp.int32)
@@ -580,6 +596,22 @@ def walk_step(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     child_imp = jnp.where(spawn_ok, child_imp, 10 ** 6)
     child_init = jnp.where(spawn_ok, child_init, 0)
 
+    # ---------------- owner routing over the mesh (P2) ---------------------
+    if cfg.axis_name is not None:
+        from ..parallel.dist import det_owner_jnp, route_spawns
+
+        owner = det_owner_jnp(spawn_up, spawn_dn, cfg.n_dev)
+        routed, spawn_ok, route_ovf = route_spawns(
+            cfg.axis_name, cfg.n_dev, owner, spawn_ok,
+            dict(up=spawn_up, dn=spawn_dn, wt=spawn_wt, imp=child_imp,
+                 init=child_init))
+        spawn_up = jnp.where(spawn_ok[:, None], routed["up"], jnp.uint64(SENTINEL))
+        spawn_dn = jnp.where(spawn_ok[:, None], routed["dn"], jnp.uint64(SENTINEL))
+        spawn_wt = jnp.where(spawn_ok, routed["wt"], 0.0)
+        child_imp = jnp.where(spawn_ok, routed["imp"], 10 ** 6)
+        child_init = jnp.where(spawn_ok, routed["init"], 0)
+        overflow = overflow | route_ovf
+
     # ---------------- diagonal move + projection on parents ----------------
     # compute unknown diagonal elements
     need_diag = (state.diag > 1e50) & alive & (state.imp >= 1)
@@ -693,6 +725,15 @@ def walk_step(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     e_num_gen = jnp.sum(jnp.where(match, tables.ct_num[safe_ct] * out_wt, 0.0))
     e_den_gen = jnp.sum(jnp.where(match, tables.ct_den[safe_ct] * out_wt, 0.0))
     w_abs_gen = jnp.sum(jnp.abs(out_wt))
+    nwalk_stat = nwalk_new
+    if cfg.axis_name is not None:
+        # control scalars are global: every shard sees the same values
+        e_num_gen = jax.lax.psum(e_num_gen, cfg.axis_name)
+        e_den_gen = jax.lax.psum(e_den_gen, cfg.axis_name)
+        w_abs_gen = jax.lax.psum(w_abs_gen, cfg.axis_name)
+        nwalk_stat = jax.lax.psum(nwalk_new, cfg.axis_name)
+        overflow = jax.lax.psum(overflow.astype(jnp.int32), cfg.axis_name) > 0
+        total_spawn = jax.lax.psum(total_spawn, cfg.axis_name)
 
     e_num_blk = state.e_num_blk + e_num_gen
     e_den_blk = state.e_den_blk + e_den_gen
@@ -735,7 +776,7 @@ def walk_step(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         overflow=state.overflow | overflow,
     )
     stats = dict(e_num_gen=e_num_gen, e_den_gen=e_den_gen,
-                 w_abs_gen=w_abs_gen, nwalk=nwalk_new,
+                 w_abs_gen=w_abs_gen, nwalk=nwalk_stat,
                  e_gen=e_num_gen / jnp.where(e_den_gen == 0, 1e-300, e_den_gen),
                  n_spawn=total_spawn)
     return new_state, stats

@@ -1,0 +1,288 @@
+"""Determinant sharding over a device mesh.
+
+TPU mapping of the reference's MPI layer (SURVEY.md 2.3/2.4):
+  P1  get_det_owner hash sharding  -> det_owner() below (same function on
+      host numpy and device jnp), walkers live on their owner's shard
+  P2  mpi_sendnewwalks alltoallv   -> bucket-by-owner + jax.lax.all_to_all
+      inside shard_map (ICI)
+  P4  distributed Davidson         -> row-sharded COO + all_gather'd vector
+  P8  master-core I/O + broadcast  -> host reads, tables replicated
+
+The walk step itself becomes axis-aware (sqmc_tpu.algo.walk with
+cfg.axis_name set); this module holds the mesh/bucketing helpers and the
+host-side sharded-state preparation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+_K1 = 0x9E3779B97F4A7C15
+_K2 = 0xC2B2AE3D27D4EB4F
+
+
+def det_owner_np(up: np.ndarray, dn: np.ndarray, n_dev: int) -> np.ndarray:
+    """Owner device of each det (host).  up/dn: [n, W] uint64."""
+    acc = np.zeros(len(up), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for w in range(up.shape[1]):
+            acc = (acc ^ up[:, w]) * np.uint64(_K1)
+            acc = (acc ^ dn[:, w]) * np.uint64(_K2)
+        acc ^= acc >> np.uint64(29)
+    return (acc % np.uint64(n_dev)).astype(np.int32)
+
+
+def det_owner_jnp(up: jnp.ndarray, dn: jnp.ndarray, n_dev: int) -> jnp.ndarray:
+    """Owner device of each det (device).  Must match det_owner_np."""
+    acc = jnp.zeros(up.shape[0], dtype=jnp.uint64)
+    for w in range(up.shape[1]):
+        acc = (acc ^ up[:, w]) * jnp.uint64(_K1)
+        acc = (acc ^ dn[:, w]) * jnp.uint64(_K2)
+    acc = acc ^ (acc >> jnp.uint64(29))
+    return (acc % jnp.uint64(n_dev)).astype(jnp.int32)
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), ("d",))
+
+
+def route_spawns(axis_name: str, n_dev: int, owner: jnp.ndarray, valid,
+                 arrays: dict):
+    """Bucket spawn slots by owner and exchange over the mesh axis.
+
+    owner: [CAP] destination shard ids; valid: [CAP] mask; arrays: dict of
+    [CAP, ...] payloads.  Each destination bucket has capacity CAP//n_dev;
+    returns (routed arrays [CAP, ...] = received spawns, valid mask,
+    overflow flag).
+    """
+    CAP = owner.shape[0]
+    cap_loc = CAP // n_dev
+    owner = jnp.where(valid, owner, n_dev)  # invalid -> dropped bucket
+
+    order = jnp.argsort(owner, stable=True)
+    owner_s = owner[order]
+    # rank within destination bucket
+    first_of = jnp.searchsorted(owner_s, jnp.arange(n_dev + 1))
+    rank = jnp.arange(CAP) - first_of[jnp.clip(owner_s, 0, n_dev)]
+    counts = first_of[1:] - first_of[:-1]  # per destination (w/o invalid)
+    overflow = jnp.any(counts[:n_dev] > cap_loc)
+
+    dest = jnp.where((owner_s < n_dev) & (rank < cap_loc),
+                     owner_s * cap_loc + rank, CAP)
+
+    out = {}
+    for k, a in arrays.items():
+        a_s = a[order]
+        if a.ndim == 2:
+            buf = jnp.zeros((CAP,) + a.shape[1:], a.dtype)
+        else:
+            buf = jnp.zeros((CAP,), a.dtype)
+        buf = buf.at[dest].set(a_s, mode="drop")
+        # [n_dev, cap_loc, ...] -> exchange -> flatten
+        buf = buf.reshape((n_dev, cap_loc) + a.shape[1:])
+        buf = jax.lax.all_to_all(buf, axis_name, split_axis=0, concat_axis=0,
+                                 tiled=False)
+        out[k] = buf.reshape((CAP,) + a.shape[1:])
+
+    vmask = jnp.zeros(CAP, bool).at[dest].set(valid[order], mode="drop")
+    vmask = vmask.reshape(n_dev, cap_loc)
+    vmask = jax.lax.all_to_all(vmask, axis_name, split_axis=0, concat_axis=0,
+                               tiled=False).reshape(CAP)
+    return out, vmask, overflow
+
+
+def shard_initial_state(up, dn, wt, imp, init_flag, n_dev, mwalk_local):
+    """Distribute an initial det population to owner shards (host).
+
+    Returns per-shard stacked arrays [n_dev, mwalk_local, ...] plus
+    per-shard counts; each shard's slice is sorted by det key.
+    """
+    from ..ops import setalg
+    from ..algo.walk import SENTINEL
+
+    W = up.shape[1]
+    owner = det_owner_np(up, dn, n_dev)
+    s_up = np.full((n_dev, mwalk_local, W), SENTINEL, dtype=np.uint64)
+    s_dn = np.full((n_dev, mwalk_local, W), SENTINEL, dtype=np.uint64)
+    s_wt = np.zeros((n_dev, mwalk_local))
+    s_imp = np.full((n_dev, mwalk_local), 10 ** 6, np.int32)
+    s_init = np.zeros((n_dev, mwalk_local), np.int32)
+    counts = np.zeros(n_dev, np.int32)
+    for d in range(n_dev):
+        sel = owner == d
+        u, v = up[sel], dn[sel]
+        order = setalg.lexsort_dets(u, v)
+        k = len(u)
+        if k > mwalk_local:
+            raise ValueError("initial population exceeds local capacity")
+        s_up[d, :k] = u[order]
+        s_dn[d, :k] = v[order]
+        s_wt[d, :k] = wt[sel][order]
+        s_imp[d, :k] = imp[sel][order]
+        s_init[d, :k] = init_flag[sel][order]
+        counts[d] = k
+    return s_up, s_dn, s_wt, s_imp, s_init, counts
+
+
+def shard_imp_space(imp_up, imp_dn, imp_ham, n_dev):
+    """Split the deterministic space by owner; build row-complete COO with
+    global column indices (host).
+
+    Returns per-shard arrays stacked on axis 0:
+      su, sd: [n_dev, m, W] padded local D dets (sorted)
+      rows: [n_dev, nnz_m] local row ids; cols: [n_dev, nnz_m] GLOBAL ids
+      vals: [n_dev, nnz_m]
+    where global id of (dev, slot) = dev*m + slot.
+    """
+    from ..ops import setalg
+    from ..algo.walk import SENTINEL
+
+    n = len(imp_up)
+    W = imp_up.shape[1]
+    owner = det_owner_np(imp_up, imp_dn, n_dev)
+    # local slot assignment (sorted within shard)
+    local_idx = np.zeros(n, np.int64)
+    perms = []
+    m = 0
+    for d in range(n_dev):
+        sel = np.nonzero(owner == d)[0]
+        order = setalg.lexsort_dets(imp_up[sel], imp_dn[sel])
+        sel = sel[order]
+        local_idx[sel] = np.arange(len(sel))
+        perms.append(sel)
+        m = max(m, len(sel))
+    m = max(m, 1)
+    gid = owner.astype(np.int64) * m + local_idx  # global id of each imp det
+
+    su = np.full((n_dev, m, W), SENTINEL, np.uint64)
+    sd = np.full((n_dev, m, W), SENTINEL, np.uint64)
+    for d in range(n_dev):
+        sel = perms[d]
+        su[d, :len(sel)] = imp_up[sel]
+        sd[d, :len(sel)] = imp_dn[sel]
+
+    # row-complete symmetric COO (diag + both orientations)
+    r_all = np.concatenate([imp_ham.rows, imp_ham.cols, np.arange(n)])
+    c_all = np.concatenate([imp_ham.cols, imp_ham.rows, np.arange(n)])
+    v_all = np.concatenate([imp_ham.vals, imp_ham.vals, imp_ham.diag])
+    row_owner = owner[r_all]
+    nnz_m = 1
+    per = []
+    for d in range(n_dev):
+        sel = row_owner == d
+        per.append((local_idx[r_all[sel]], gid[c_all[sel]], v_all[sel]))
+        nnz_m = max(nnz_m, int(sel.sum()))
+    rows = np.zeros((n_dev, nnz_m), np.int32)
+    cols = np.zeros((n_dev, nnz_m), np.int32)
+    vals = np.zeros((n_dev, nnz_m))
+    for d, (r, c, v) in enumerate(per):
+        rows[d, :len(r)] = r
+        cols[d, :len(c)] = c
+        vals[d, :len(v)] = v
+    return su, sd, rows, cols, vals, m
+
+
+# ---------------------------------------------------------------------------
+# Sharded walk assembly
+# ---------------------------------------------------------------------------
+
+def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
+                      e_trial_initial: float, seed: int = 0):
+    """Build (jitted sharded step_fn, sharded state, sharded tables).
+
+    cfg: WalkConfig with axis_name='d', n_dev=len(mesh); mwalk/cap_spawn are
+    PER-SHARD capacities.  State arrays live sharded on the mesh; tables are
+    replicated except the D-space slices.
+    """
+    from jax import shard_map
+
+    from ..algo import walk as walk_mod
+    from ..algo.walk import (WalkState, WalkTables, build_walk_tables,
+                             init_walk_state, walk_step, SENTINEL)
+
+    n_dev = cfg.n_dev
+    base = build_walk_tables(system, trial)
+
+    # shard the deterministic space by owner
+    su, sd, rows, cols, vals, m_loc = shard_imp_space(
+        trial.imp_up, trial.imp_dn, trial.imp_ham, n_dev)
+
+    tables = base._replace(
+        imp_up=jnp.asarray(su.reshape(n_dev * m_loc, -1)),
+        imp_dn=jnp.asarray(sd.reshape(n_dev * m_loc, -1)),
+        imp_rows=jnp.asarray(rows.reshape(-1)),
+        imp_cols=jnp.asarray(cols.reshape(-1)),
+        imp_vals=jnp.asarray(vals.reshape(-1)),
+    )
+
+    # initial population distributed by owner
+    from ..ops import setalg
+    all_up = np.concatenate([trial.psit_up, trial.imp_up])
+    all_dn = np.concatenate([trial.psit_dn, trial.imp_dn])
+    coefs = np.concatenate([trial.psit_coef, np.zeros(len(trial.imp_up))])
+    u, d, (c,), _ = setalg.unique_dets(all_up, all_dn, [coefs])
+    scale = w_abs_begin / np.sum(np.abs(c))
+    in_imp = ~setalg.setdiff_dets(u, d, trial.imp_up, trial.imp_dn)
+    imp0 = np.where(in_imp, 0, 1).astype(np.int32)
+    init0 = np.full(len(u), 2, np.int32)
+    s_up, s_dn, s_wt, s_imp, s_init, counts = shard_initial_state(
+        u, d, c * scale, imp0, init0, n_dev, cfg.mwalk)
+
+    st0 = init_walk_state(cfg, trial, w_abs_begin, e_trial_initial, seed)
+    M, W = cfg.mwalk, cfg.n_words
+    # global (stacked) state arrays: [n_dev * M, ...]
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_dev)
+    state = st0._replace(
+        up=jnp.asarray(s_up.reshape(n_dev * M, W)),
+        dn=jnp.asarray(s_dn.reshape(n_dev * M, W)),
+        wt=jnp.asarray(s_wt.reshape(-1)),
+        init=jnp.asarray(s_init.reshape(-1)),
+        imp=jnp.asarray(s_imp.reshape(-1)),
+        diag=jnp.full(n_dev * M, 1e51),
+        nwalk=jnp.asarray(counts, jnp.int32),       # per-shard counts
+        key=keys,
+    )
+
+    sharded = P("d")
+    repl = P()
+
+    state_specs = WalkState(
+        up=sharded, dn=sharded, wt=sharded, init=sharded, imp=sharded,
+        diag=sharded, nwalk=sharded, key=sharded,
+        e_trial=repl, e_est=repl, tau=repl, reweight_factor_inv=repl,
+        reached_target=repl, equilibrated=repl,
+        e_num_blkabs_cum=repl, e_den_blkabs_cum=repl,
+        e_num_blk=repl, e_den_blk=repl, w_abs_gen=repl, overflow=repl)
+    table_specs = WalkTables(
+        same_rs=repl, same_val=repl, same_cum=repl, same_start=repl,
+        same_count=repl, same_rowsum=repl,
+        opp_rs=repl, opp_val=repl, opp_cum=repl, opp_start=repl,
+        opp_count=repl, opp_rowsum=repl,
+        u_table=repl, u_cum=repl, u_rowsum=repl,
+        table=jax.tree_util.tree_map(lambda _: repl, base.table),
+        ct_up=repl, ct_dn=repl, ct_num=repl, ct_den=repl,
+        imp_up=sharded, imp_dn=sharded, imp_rows=sharded, imp_cols=sharded,
+        imp_vals=sharded)
+    stats_specs = dict(e_num_gen=repl, e_den_gen=repl, w_abs_gen=repl,
+                       nwalk=repl, e_gen=repl, n_spawn=repl)
+
+    def _local_step(st, tb):
+        # inside shard_map: nwalk/key arrive with a leading size-1 shard dim
+        st = st._replace(nwalk=st.nwalk[0], key=st.key[0])
+        st2, stats = walk_step(st, tb, cfg)
+        st2 = st2._replace(nwalk=st2.nwalk[None], key=st2.key[None])
+        return st2, stats
+
+    step = jax.jit(shard_map(
+        _local_step, mesh=mesh,
+        in_specs=(state_specs, table_specs),
+        out_specs=(state_specs, stats_specs),
+        check_vma=False,
+    ))
+    return step, state, tables
