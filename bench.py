@@ -22,6 +22,18 @@ ASSUMED_FORTRAN_8CORE_WALKER_STEPS_PER_SEC = 1.0e6
 
 def main():
     import numpy as np
+    import jax as _jax
+    # persist compiled executables across bench invocations (TPU compiles of
+    # the big walk step take minutes through the remote-compile tunnel)
+    import os as _os
+    _cache_dir = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                               ".cache", "jax_cache")
+    _os.makedirs(_cache_dir, exist_ok=True)
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     from sqmc_tpu.systems.base import make_chem_system
     from sqmc_tpu.algo.semistoch import build_trial_wavefunction
     from sqmc_tpu.algo.walk import WalkConfig, run_walk

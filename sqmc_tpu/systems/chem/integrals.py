@@ -76,6 +76,8 @@ class IntegralTable:
     sing_exch: jnp.ndarray | None = None
     heg_V: jnp.ndarray | None = None
     heg_rel: jnp.ndarray | None = None
+    heg_mod: jnp.ndarray | None = None   # modular momentum conservation
+                                         # (Hubbard-k umklapp); None = exact
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -101,19 +103,25 @@ class IntegralTable:
         )
 
     @staticmethod
-    def from_heg(h: np.ndarray, V: np.ndarray, k_rel: np.ndarray) -> "IntegralTable":
-        """V[p,q] = Coulomb kernel at transfer k_p-k_q (0 on the diagonal:
-        the q=0 component is cancelled by the background)."""
+    def from_heg(h: np.ndarray, V: np.ndarray, k_rel: np.ndarray,
+                 mod: np.ndarray | None = None) -> "IntegralTable":
+        """Momentum-space system with (pq|rs) = V[p,q] under (optionally
+        modular) momentum conservation.  For jellium V has a zero diagonal
+        (background cancels the q=0 component); for Hubbard-k V = U/N
+        everywhere and `mod` enables umklapp.  Derived matrices:
+        D[p,q] = (pp|qq) = V[p,p] (conservation trivially holds),
+        X[p,q] = (pq|qp) = V[p,q]."""
         norb = h.shape[0]
+        D = np.broadcast_to(np.diag(V)[:, None], (norb, norb)).copy()
         X = V.copy()
-        np.fill_diagonal(X, 0.0)
         return IntegralTable(
             norb=norb, core_energy=0.0,
             h=jnp.asarray(h, dtype=jnp.float64),
             orb_sym=np.ones(norb, dtype=np.int32),
-            direct=jnp.asarray(np.zeros((norb, norb))),
+            direct=jnp.asarray(D),
             exchange=jnp.asarray(X),
             heg_V=jnp.asarray(V), heg_rel=jnp.asarray(k_rel.astype(np.int32)),
+            heg_mod=None if mod is None else jnp.asarray(mod.astype(np.int32)),
         )
 
     # ------------------------------------------------------------------
@@ -122,9 +130,12 @@ class IntegralTable:
         if self.eri is not None:
             return self.eri[quad_index_jnp(pair_index_jnp(p, q),
                                            pair_index_jnp(r, s))]
-        # analytic HEG: nonzero iff k_p - k_q == k_s - k_r and p != q
+        # analytic: nonzero iff k_p - k_q == k_s - k_r (mod heg_mod)
         rel = self.heg_rel
-        conserve = jnp.all(rel[p] - rel[q] + rel[r] - rel[s] == 0, axis=-1)
+        d = rel[p] - rel[q] + rel[r] - rel[s]
+        if self.heg_mod is not None:
+            d = d % self.heg_mod
+        conserve = jnp.all(d == 0, axis=-1)
         return jnp.where(conserve, self.heg_V[p, q], 0.0)
 
     def eri_value_np(self, p, q, r, s):
@@ -135,7 +146,10 @@ class IntegralTable:
                                   pair_index(np.asarray(r), np.asarray(s)))]
         rel = np.asarray(self.heg_rel)
         V = np.asarray(self.heg_V)
-        conserve = np.all(rel[p] - rel[q] + rel[r] - rel[s] == 0, axis=-1)
+        d = rel[p] - rel[q] + rel[r] - rel[s]
+        if self.heg_mod is not None:
+            d = d % np.asarray(self.heg_mod)
+        conserve = np.all(d == 0, axis=-1)
         return np.where(conserve, V[p, q], 0.0)
 
     def h_np(self):
@@ -147,11 +161,12 @@ class IntegralTable:
 jax.tree_util.register_pytree_node(
     IntegralTable,
     lambda t: ((t.h, t.direct, t.exchange, t.eri, t.sing_dir, t.sing_exch,
-                t.heg_V, t.heg_rel),
+                t.heg_V, t.heg_rel, t.heg_mod),
                (t.norb, t.core_energy, tuple(np.asarray(t.orb_sym).tolist()))),
     lambda aux, ch: IntegralTable(norb=aux[0], core_energy=aux[1],
                                   orb_sym=np.asarray(aux[2], dtype=np.int32),
                                   h=ch[0], direct=ch[1],
                                   exchange=ch[2], eri=ch[3], sing_dir=ch[4],
-                                  sing_exch=ch[5], heg_V=ch[6], heg_rel=ch[7]),
+                                  sing_exch=ch[5], heg_V=ch[6], heg_rel=ch[7],
+                                  heg_mod=ch[8]),
 )
