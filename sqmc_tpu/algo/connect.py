@@ -345,7 +345,49 @@ def generate_connections(system, ref_up: np.ndarray, ref_dn: np.ndarray,
             outs_r.append(np.asarray(s["ref"])[v].astype(np.int64) + beg)
 
     if not outs_up:
-        z = np.zeros((0, W), np.uint64)
-        return z, z.copy(), np.zeros(0), np.zeros(0, np.int64)
-    return (np.concatenate(outs_up), np.concatenate(outs_dn),
-            np.concatenate(outs_h), np.concatenate(outs_r).astype(np.int64))
+        zz = np.zeros((0, W), np.uint64)
+        return zz, zz.copy(), np.zeros(0), np.zeros(0, np.int64)
+    cu = np.concatenate(outs_up)
+    cd = np.concatenate(outs_dn)
+    h = np.concatenate(outs_h)
+    ref = np.concatenate(outs_r).astype(np.int64)
+
+    if getattr(system, "time_sym", False):
+        cu, cd, h, ref = _time_sym_postprocess(system, ref_up, ref_dn,
+                                               cu, cd, h, ref)
+    return cu, cd, h, ref
+
+
+def _time_sym_postprocess(system, ref_up, ref_dn, cu, cd, h, ref):
+    """Map raw candidates to time-reversal representatives with the
+    sqrt2 normalization factors and z sign flips
+    (ref: chemistry.f90:6957-6992, 7100-7140):
+      * drop self-symmetric candidates when z < 0,
+      * drop candidates equal to the time-reverse of their reference
+        (a diagonal move in the symmetrized basis),
+      * h *= 1/sqrt2 when the reference is self-symmetric (cand not),
+        h *= sqrt2 when the candidate is self-symmetric (ref not),
+      * swap (up,dn) to the representative ordering, h *= z on swap.
+    """
+    from ..ops import setalg
+    from ..systems.chem.slater import SQRT2, SQRT2INV
+
+    z = system.z
+    ru = ref_up[ref]
+    rd = ref_dn[ref]
+    sym_ref = np.all(ru == rd, axis=1)
+    sym_cand = np.all(cu == cd, axis=1)
+
+    keep = np.ones(len(cu), bool)
+    if z < 0:
+        keep &= ~sym_cand
+    keep &= ~(np.all(cu == rd, axis=1) & np.all(cd == ru, axis=1))
+
+    h = h * np.where(sym_ref & ~sym_cand, SQRT2INV, 1.0)
+    h = h * np.where(sym_cand & ~sym_ref, SQRT2, 1.0)
+
+    swap = setalg.keys_less(cd, cu, cu, cd)
+    cu2 = np.where(swap[:, None], cd, cu)
+    cd2 = np.where(swap[:, None], cu, cd)
+    h = np.where(swap, z * h, h)
+    return cu2[keep], cd2[keep], h[keep], ref[keep]

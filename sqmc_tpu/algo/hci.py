@@ -49,7 +49,8 @@ def run_hci(system, eps_var: float, eps_var_sched=None, n_states: int = 1,
     wts[0, 0] = 1.0
     min_H_done = np.full(1, 1e99)
 
-    H = build_sparse_ham(system.table, up, dn, nup, ndn, norb)
+    ts = dict(time_sym=system.time_sym, z=system.z)
+    H = build_sparse_ham(system.table, up, dn, nup, ndn, norb, **ts)
     energies = np.full(n_states, H.diag[0])
     if verbose:
         print(f"Iteration   0 eps1={eps_var:8.1e} ndets={1:9d} "
@@ -122,7 +123,7 @@ def run_hci(system, eps_var: float, eps_var_sched=None, n_states: int = 1,
 
         with phase("generate_sparse_ham", enabled=verbose):
             H = build_sparse_ham(system.table, up2, dn2, nup, ndn, norb,
-                                 prev=H, prev_map=prev_map)
+                                 prev=H, prev_map=prev_map, **ts)
 
         # starting vectors: previous wavefunction; extra states get unit
         # vectors on the lowest unneeded diagonal elements

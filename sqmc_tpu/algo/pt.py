@@ -35,7 +35,11 @@ from ..utils.timers import phase
 from .connect import generate_connections
 
 
-def _diag_elements_np(table, up, dn, norb, batch=1 << 17):
+def _diag_elements_np(table, up, dn, norb, batch=1 << 17,
+                      time_sym=False, z=1):
+    if time_sym:
+        from .sparseham import ts_diag_elements
+        return ts_diag_elements(table, up, dn, norb, z)
     out = np.empty(len(up))
     for beg in range(0, len(up), batch):
         end = min(beg + batch, len(up))
@@ -66,7 +70,8 @@ def second_order_pt(system, up, dn, wts, var_energy: float, eps_pt: float,
 
         ext = setalg.setdiff_dets(cu_u, cd_u, up, dn)
         cu_e, cd_e, num_e = cu_u[ext], cd_u[ext], num[ext]
-        diag_e = _diag_elements_np(system.table, cu_e, cd_e, system.norb)
+        diag_e = _diag_elements_np(system.table, cu_e, cd_e, system.norb,
+                                   time_sym=system.time_sym, z=system.z)
         delta_e2 = float(np.sum(num_e ** 2 / (var_energy - diag_e)))
     if verbose:
         print(f"Number of connected dets={n_connected}", flush=True)
@@ -135,7 +140,9 @@ def second_order_pt_alias(system, up, dn, wts, diag, var_energy: float,
         cu_u, cd_u, (T1, T2, T1b, T2b), _ = setalg.unique_dets(
             cu, cd, [t1, t2, t1b, t2b])
         ext = setalg.setdiff_dets(cu_u, cd_u, up, dn)
-        dex = _diag_elements_np(system.table, cu_u[ext], cd_u[ext], system.norb)
+        dex = _diag_elements_np(system.table, cu_u[ext], cd_u[ext],
+                                system.norb, time_sym=system.time_sym,
+                                z=system.z)
         contrib = (T1[ext] ** 2 + T2[ext] - T1b[ext] ** 2 - T2b[ext]) \
             / (var_energy - dex)
         e_sample = float(np.sum(contrib)) / (n_mc * (n_mc - 1))

@@ -180,7 +180,8 @@ def connected_pairs(up: np.ndarray, dn: np.ndarray, nup: int, ndn: int,
     return a[first], b[first]
 
 
-def eval_pairs(table, up, dn, a, b, norb, batch: int = 1 << 18):
+def eval_pairs(table, up, dn, a, b, norb, batch: int = 1 << 18,
+               time_sym: bool = False, z: int = 1):
     """Signed H elements for det pairs (a,b), device-batched."""
     out = np.empty(len(a))
     for beg in range(0, len(a), batch):
@@ -189,30 +190,77 @@ def eval_pairs(table, up, dn, a, b, norb, batch: int = 1 << 18):
         bd_i = dets_mod.to_bits(jnp.asarray(dn[a[beg:end]]), norb)
         bu_j = dets_mod.to_bits(jnp.asarray(up[b[beg:end]]), norb)
         bd_j = dets_mod.to_bits(jnp.asarray(dn[b[beg:end]]), norb)
-        out[beg:end] = np.asarray(
-            slater.pair_matrix_elements(table, bu_i, bd_i, bu_j, bd_j))
+        if time_sym:
+            out[beg:end] = np.asarray(slater.pair_matrix_elements_time_sym(
+                table, bu_i, bd_i, bu_j, bd_j, z))
+        else:
+            out[beg:end] = np.asarray(
+                slater.pair_matrix_elements(table, bu_i, bd_i, bu_j, bd_j))
+    return out
+
+
+def ts_diag_elements(table, up, dn, norb, z: int, batch: int = 1 << 17):
+    """Diagonal elements of time-symmetrized basis states."""
+    out = np.empty(len(up))
+    for beg in range(0, len(up), batch):
+        end = min(beg + batch, len(up))
+        bu = dets_mod.to_bits(jnp.asarray(up[beg:end]), norb)
+        bd = dets_mod.to_bits(jnp.asarray(dn[beg:end]), norb)
+        out[beg:end] = np.asarray(slater.pair_matrix_elements_time_sym(
+            table, bu, bd, bu, bd, z))
     return out
 
 
 def build_sparse_ham(table, up: np.ndarray, dn: np.ndarray, nup: int,
                      ndn: int, norb: int,
                      prev: SparseHam | None = None,
-                     prev_map: np.ndarray | None = None) -> SparseHam:
+                     prev_map: np.ndarray | None = None,
+                     time_sym: bool = False, z: int = 1) -> SparseHam:
     """Full sparse H over a det list, with incremental reuse.
 
     prev: SparseHam of a previous (smaller) det list; prev_map [prev.n]
     maps previous det indices to rows of the current list.  Only pairs
     touching dets NOT in the previous list are joined and evaluated.
+
+    time_sym: dets are time-reversal representatives; elements use the
+    symmetrized formula, and pairs connected only through the REVERSED
+    orientation are found by joining the doubled list [dets; reversed].
     """
     n = len(up)
     # diagonal
-    diag = np.empty(n)
-    bs = 1 << 17
-    for beg in range(0, n, bs):
-        end = min(beg + bs, n)
-        bu = dets_mod.to_bits(jnp.asarray(up[beg:end]), norb)
-        bd = dets_mod.to_bits(jnp.asarray(dn[beg:end]), norb)
-        diag[beg:end] = np.asarray(slater.diag_elements(table, bu, bd))
+    if time_sym:
+        diag = ts_diag_elements(table, up, dn, norb, z)
+    else:
+        diag = np.empty(n)
+        bs = 1 << 17
+        for beg in range(0, n, bs):
+            end = min(beg + bs, n)
+            bu = dets_mod.to_bits(jnp.asarray(up[beg:end]), norb)
+            bd = dets_mod.to_bits(jnp.asarray(dn[beg:end]), norb)
+            diag[beg:end] = np.asarray(slater.diag_elements(table, bu, bd))
+
+    def find_pairs(u, d, new_start):
+        if not time_sym:
+            return connected_pairs(u, d, nup, ndn, norb, new_start=new_start)
+        m = len(u)
+        u2 = np.concatenate([u, d])
+        d2 = np.concatenate([d, u])
+        # a pair of representatives is connected if ANY orientation pair is
+        # within two excitations; join the doubled list and fold indices
+        ns2 = new_start  # new dets occupy [new_start, m) in BOTH halves
+        a2, b2 = connected_pairs(u2, d2, nup, ndn, norb, new_start=0)
+        a = a2 % m
+        b = b2 % m
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        keep = lo != hi
+        keep &= (lo >= ns2) | (hi >= ns2)
+        lo, hi = lo[keep], hi[keep]
+        order = np.lexsort((hi, lo))
+        lo, hi = lo[order], hi[order]
+        first = np.ones(len(lo), bool)
+        first[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+        return lo[first], hi[first]
 
     if prev is not None and prev_map is not None and prev.n > 0:
         # mark which current rows are new
@@ -224,11 +272,10 @@ def build_sparse_ham(table, up: np.ndarray, dn: np.ndarray, nup: int,
         new_rows = np.nonzero(~is_old)[0]
         perm = np.concatenate([old_rows, new_rows])   # position -> cur row
         up_p, dn_p = up[perm], dn[perm]
-        a_p, b_p = connected_pairs(up_p, dn_p, nup, ndn, norb,
-                                   new_start=len(old_rows))
+        a_p, b_p = find_pairs(up_p, dn_p, len(old_rows))
         a = perm[a_p]
         b = perm[b_p]
-        vals = eval_pairs(table, up, dn, a, b, norb)
+        vals = eval_pairs(table, up, dn, a, b, norb, time_sym=time_sym, z=z)
         keep = vals != 0.0
         a, b, vals = a[keep], b[keep], vals[keep]
         # remap previous entries
@@ -240,8 +287,8 @@ def build_sparse_ham(table, up: np.ndarray, dn: np.ndarray, nup: int,
         cols = np.concatenate([hi, b])
         v = np.concatenate([prev.vals, vals])
     else:
-        a, b = connected_pairs(up, dn, nup, ndn, norb, new_start=0)
-        vals = eval_pairs(table, up, dn, a, b, norb)
+        a, b = find_pairs(up, dn, 0)
+        vals = eval_pairs(table, up, dn, a, b, norb, time_sym=time_sym, z=z)
         keep = vals != 0.0
         rows, cols, v = a[keep], b[keep], vals[keep]
 

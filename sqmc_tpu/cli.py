@@ -24,7 +24,11 @@ def run_from_config(cfg, fcidump: str | None = None, verbose: bool = True):
 
     if cfg.hamiltonian_type == "chem":
         from .systems.base import make_chem_system
-        system = make_chem_system(fcidump or "FCIDUMP")
+        system = make_chem_system(
+            fcidump or "FCIDUMP", nup=cfg.nup or None,
+            ndn=(cfg.nelec - cfg.nup) if cfg.nelec else None,
+            time_sym=cfg.time_sym, z=cfg.z, point_group=cfg.point_group,
+            hf_symmetry=cfg.hf_symmetry)
     elif cfg.hamiltonian_type == "heg":
         from .systems.heg.system import make_heg_system
         system = make_heg_system(cfg.n_dim, cfg.r_s, cfg.nelec, cfg.nup,
@@ -48,23 +52,31 @@ def run_from_config(cfg, fcidump: str | None = None, verbose: bool = True):
     my_second("END", "variational part")
     print(f"Variational energy={res.energies[0]:26.9f}")
 
-    out = do_pt(system, res.up, res.dn, res.wts[:, 0], res.diag,
-                float(res.energies[0]), eps_var=min(cfg.eps_var_sched),
-                eps_pt=cfg.eps_pt, eps_pt_big=cfg.eps_pt_big,
-                target_error=cfg.target_error, n_mc=cfg.n_mc,
-                n_max_connections=int(cfg.n_max_connections),
-                verbose=verbose)
-    if out["mode"] == "deterministic":
-        print(f"Second-order PT energy lowering={out['pt']:26.9f}")
-    else:
-        print(f"Second-order PT energy lowering={out['pt']:26.9f} "
-              f"+- {out['pt_err']:.9f}")
-    print(f"Total energy={out['e_tot']:26.9f}")
-    if cfg.hamiltonian_type == "heg":
-        print(f"Total energy (includ. Madelung)="
-              f"{out['e_tot'] + system.extra['energy_madelung']:22.9f}")
+    outs = []
+    for state in range(cfg.n_states):
+        if cfg.n_states > 1:
+            print(f"State {state + 1}: variational energy="
+                  f"{res.energies[state]:26.9f}")
+        out = do_pt(system, res.up, res.dn, res.wts[:, state], res.diag,
+                    float(res.energies[state]), eps_var=min(cfg.eps_var_sched),
+                    eps_pt=cfg.eps_pt, eps_pt_big=cfg.eps_pt_big,
+                    target_error=cfg.target_error, n_mc=cfg.n_mc,
+                    n_max_connections=int(cfg.n_max_connections),
+                    verbose=verbose)
+        if out["mode"] == "deterministic":
+            print(f"Second-order PT energy lowering={out['pt']:26.9f}")
+        else:
+            print(f"Second-order PT energy lowering={out['pt']:26.9f} "
+                  f"+- {out['pt_err']:.9f}")
+        print(f"Total energy({state + 1})={out['e_tot']:26.9f}")
+        if state == 0:
+            print(f"Total energy={out['e_tot']:26.9f}")
+        if cfg.hamiltonian_type == "heg":
+            print(f"Total energy (includ. Madelung)="
+                  f"{out['e_tot'] + system.extra['energy_madelung']:22.9f}")
+        outs.append(out)
     my_second("END", "HCI")
-    return res, out
+    return res, outs
 
 
 def main(argv=None):

@@ -106,6 +106,23 @@ def fuse_key(up: np.ndarray, dn: np.ndarray) -> np.ndarray:
     return be.reshape(n, -1).view(f"V{16 * W}").ravel()
 
 
+def keys_less(up_a, dn_a, up_b, dn_b):
+    """Elementwise (up_a,dn_a) < (up_b,dn_b) in the (up-major, MSW-first)
+    det ordering.  All [n,W] uint64."""
+    n, W = up_a.shape
+    lt = np.zeros(n, bool)
+    gt = np.zeros(n, bool)
+    for w in range(W - 1, -1, -1):
+        a, b = up_a[:, w], up_b[:, w]
+        lt |= ~gt & ~lt & (a < b)
+        gt |= ~lt & ~gt & (a > b)
+    for w in range(W - 1, -1, -1):
+        a, b = dn_a[:, w], dn_b[:, w]
+        lt |= ~gt & ~lt & (a < b)
+        gt |= ~lt & ~gt & (a > b)
+    return lt
+
+
 def setdiff_dets(up_a, dn_a, up_b, dn_b):
     """Rows of (a) not present in sorted-or-not (b).  Returns mask over a."""
     if len(up_b) == 0:

@@ -188,3 +188,31 @@ def pair_matrix_elements(table: IntegralTable, bits_up_i, bits_dn_i,
                     jnp.where(level == 1, single,
                               jnp.where(level == 2, double, 0.0)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Time-reversal symmetrized elements (ref: hamiltonian_chem_time_sym:1355)
+# ---------------------------------------------------------------------------
+
+SQRT2 = 1.4142135623730951
+SQRT2INV = 0.7071067811865476
+
+
+def pair_matrix_elements_time_sym(table: IntegralTable, bits_up_i, bits_dn_i,
+                                  bits_up_j, bits_dn_j, z: int) -> jnp.ndarray:
+    """<i_ts|H|j_ts> between time-symmetrized basis states given their
+    REPRESENTATIVE orientations (up <= dn).
+
+    elem = norm_bra * norm_ketinv * (H(i,j) + z * H(rev_i, j)) with
+    norm_bra = sqrt2 when i is self-symmetric, norm_ketinv = 1/sqrt2 when
+    j is, and the cross term skipped when i or j is self-symmetric
+    (ref: chemistry.f90:1355-1413).
+    """
+    sym_i = jnp.all((bits_up_i == bits_dn_i), axis=-1)
+    sym_j = jnp.all((bits_up_j == bits_dn_j), axis=-1)
+    m1 = pair_matrix_elements(table, bits_up_i, bits_dn_i, bits_up_j, bits_dn_j)
+    m2 = pair_matrix_elements(table, bits_dn_i, bits_up_i, bits_up_j, bits_dn_j)
+    m2 = jnp.where(sym_j, m1, m2)       # ref: matrix_element2=matrix_element1
+    m2 = jnp.where(sym_i, 0.0, m2)      # check=false -> no cross term
+    norm = jnp.where(sym_i, SQRT2, 1.0) * jnp.where(sym_j, SQRT2INV, 1.0)
+    return norm * (m1 + z * m2)
