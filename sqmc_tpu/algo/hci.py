@@ -40,8 +40,22 @@ class HCIResult:
 
 def run_hci(system, eps_var: float, eps_var_sched=None, n_states: int = 1,
             max_iters: int = 50, verbose: bool = True,
-            keep_ham: bool = False) -> HCIResult:
+            keep_ham: bool = False, dump_wf_var: bool = False,
+            wf_cache_dir: str | None = None) -> HCIResult:
     nup, ndn, norb = system.nup, system.ndn, system.norb
+
+    # variational wavefunction cache (ref: hci.f90 wf_eps_var=<eps> files)
+    if wf_cache_dir is not None:
+        from ..utils.checkpoint import load_wf_var, wf_var_filename
+        fname = wf_var_filename(min(eps_var_sched or [eps_var]), wf_cache_dir)
+        cached = load_wf_var(fname)
+        if cached is not None and cached["wts"].shape[1] >= n_states:
+            if verbose:
+                print(f"Reading variational wavefn from {fname}", flush=True)
+            return HCIResult(up=cached["up"], dn=cached["dn"],
+                             wts=cached["wts"][:, :n_states],
+                             energies=cached["energies"][:n_states],
+                             diag=cached["diag"], n_iters=0)
 
     up = system.hf_up[None, :].copy()
     dn = system.hf_dn[None, :].copy()
@@ -156,6 +170,13 @@ def run_hci(system, eps_var: float, eps_var_sched=None, n_states: int = 1,
         print(f"Final Iteration{n_iter_done:4d} {len(up):9d} dets, energy=" +
               " ".join(f"{e:16.9f}" for e in energies), flush=True)
         print("Variational energy=" + f"{energies[0]:26.9f}".rjust(15), flush=True)
+
+    if dump_wf_var and wf_cache_dir is not None:
+        from ..utils.checkpoint import save_wf_var, wf_var_filename
+        fname = wf_var_filename(min(eps_var_sched or [eps_var]), wf_cache_dir)
+        save_wf_var(fname, up, dn, wts, energies, H.diag)
+        if verbose:
+            print(f"Writing variational wavefn to {fname}", flush=True)
 
     return HCIResult(up=up, dn=dn, wts=wts, energies=energies, diag=H.diag,
                      n_iters=n_iter_done, ham=H if keep_ham else None)

@@ -809,7 +809,8 @@ class WalkResult:
 
 def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
              nblk_eq: int, w_abs_begin: float, e_trial_initial: float,
-             seed: int = 0, verbose: bool = True) -> WalkResult:
+             seed: int = 0, verbose: bool = True,
+             mode: str = "scan") -> WalkResult:
     """Block/step driver with equilibration (ref: do_walk.f90:2113).
 
     Energy estimate: ratio of block sums of e_num/e_den with blocking error

@@ -48,7 +48,8 @@ def run_from_config(cfg, fcidump: str | None = None, verbose: bool = True):
     my_second("BEG", "variational part")
     res = run_hci(system, eps_var=cfg.eps_var,
                   eps_var_sched=cfg.eps_var_sched, n_states=cfg.n_states,
-                  verbose=verbose)
+                  verbose=verbose, dump_wf_var=cfg.dump_wf_var,
+                  wf_cache_dir=".")
     my_second("END", "variational part")
     print(f"Variational energy={res.energies[0]:26.9f}")
 
