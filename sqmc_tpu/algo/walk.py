@@ -259,15 +259,17 @@ def init_walk_state(cfg: WalkConfig, trial, w_abs_begin: float,
         up=jnp.asarray(up), dn=jnp.asarray(dn), wt=jnp.asarray(wt),
         init=jnp.asarray(init), imp=jnp.asarray(imp), diag=jnp.asarray(diag),
         nwalk=jnp.asarray(n0, jnp.int32), key=jax.random.PRNGKey(seed),
-        e_trial=jnp.asarray(float(e_trial_initial)),
-        e_est=jnp.asarray(float(e_trial_initial)),
-        tau=jnp.asarray(cfg.tau * (1 + np.log(max(cfg.w_abs_target / max(w_abs_begin, 1.0), 1.0)))),
-        reweight_factor_inv=jnp.asarray(1.0),
+        e_trial=jnp.asarray(float(e_trial_initial), jnp.float64),
+        e_est=jnp.asarray(float(e_trial_initial), jnp.float64),
+        tau=jnp.asarray(cfg.tau * (1 + np.log(max(cfg.w_abs_target / max(w_abs_begin, 1.0), 1.0))), jnp.float64),
+        reweight_factor_inv=jnp.asarray(1.0, jnp.float64),
         reached_target=jnp.asarray(False),
         equilibrated=jnp.asarray(False),
-        e_num_blkabs_cum=jnp.asarray(0.0), e_den_blkabs_cum=jnp.asarray(0.0),
-        e_num_blk=jnp.asarray(0.0), e_den_blk=jnp.asarray(0.0),
-        w_abs_gen=jnp.asarray(float(w_abs_begin)),
+        e_num_blkabs_cum=jnp.asarray(0.0, jnp.float64),
+        e_den_blkabs_cum=jnp.asarray(0.0, jnp.float64),
+        e_num_blk=jnp.asarray(0.0, jnp.float64),
+        e_den_blk=jnp.asarray(0.0, jnp.float64),
+        w_abs_gen=jnp.asarray(float(w_abs_begin), jnp.float64),
         overflow=jnp.asarray(False),
     )
 
@@ -347,9 +349,8 @@ def _lexsort_walkers(up, dn):
 # The step
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def walk_step(state: WalkState, tables: WalkTables, cfg: WalkConfig):
-    """One MC generation.  Returns (new_state, stats dict)."""
+def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
+    """One MC generation (pure function).  Returns (new_state, stats)."""
     M = cfg.mwalk
     CAP = cfg.cap_spawn
     W = cfg.n_words
@@ -782,6 +783,27 @@ def walk_step(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     return new_state, stats
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def walk_step(state: WalkState, tables: WalkTables, cfg: WalkConfig):
+    """One MC generation.  Returns (new_state, stats dict)."""
+    return _walk_step_impl(state, tables, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "nstep"),
+                   donate_argnums=(0,))
+def walk_block(state: WalkState, tables: WalkTables, cfg: WalkConfig,
+               nstep: int):
+    """A whole block of generations as one lax.scan: a single device
+    dispatch per block, so high-latency links (and kernel-launch overhead)
+    are amortized across the block.  Returns (state, stacked stats)."""
+
+    def body(st, _):
+        st2, stats = _walk_step_impl(st, tables, cfg)
+        return st2, stats
+
+    return jax.lax.scan(body, state, None, length=nstep)
+
+
 def end_of_block(state: WalkState) -> WalkState:
     """Roll the block accumulators into the blkabs cumulants
     (ref: do_walk.f90 block-end bookkeeping)."""
@@ -789,7 +811,8 @@ def end_of_block(state: WalkState) -> WalkState:
         e_num_blkabs_cum=state.e_num_blkabs_cum +
         state.e_num_blk * jnp.sign(state.e_den_blk),
         e_den_blkabs_cum=state.e_den_blkabs_cum + jnp.abs(state.e_den_blk),
-        e_num_blk=jnp.asarray(0.0), e_den_blk=jnp.asarray(0.0))
+        e_num_blk=jnp.asarray(0.0, jnp.float64),
+        e_den_blk=jnp.asarray(0.0, jnp.float64))
 
 
 # ---------------------------------------------------------------------------
@@ -830,17 +853,29 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
         equil = iblk < nblk_eq
         if not equil:
             state = state._replace(equilibrated=jnp.asarray(True))
-        blk_num = 0.0
-        blk_den = 0.0
         t0 = time.time()
-        for istep in range(nstep):
-            state, stats = walk_step(state, tables, cfg)
-            blk_num += float(stats["e_num_gen"])
-            blk_den += float(stats["e_den_gen"])
-            w_trace.append(float(stats["w_abs_gen"]))
-            n_trace.append(int(stats["nwalk"]))
-        jax.block_until_ready(state.wt)
-        dt = time.time() - t0
+        if mode == "scan":
+            # whole block in one device dispatch
+            state, stats = walk_block(state, tables, cfg, nstep)
+            jax.block_until_ready(state.wt)
+            dt = time.time() - t0
+            blk_num = float(jnp.sum(stats["e_num_gen"]))
+            blk_den = float(jnp.sum(stats["e_den_gen"]))
+            w_trace.extend(np.asarray(stats["w_abs_gen"]).tolist())
+            n_trace.extend(np.asarray(stats["nwalk"]).tolist())
+        else:
+            # async per-step dispatch; the block sums live in the state's
+            # on-device accumulators, so the host fetches only a handful of
+            # scalars per block (per-step traces are skipped in this mode -
+            # every extra fetch is a round trip on high-latency links)
+            for istep in range(nstep):
+                state, st_ = walk_step(state, tables, cfg)
+            jax.block_until_ready(state.wt)
+            dt = time.time() - t0
+            blk_num = float(state.e_num_blk)
+            blk_den = float(state.e_den_blk)
+            w_trace.append(float(state.w_abs_gen))
+            n_trace.append(int(state.nwalk))
         if not equil:
             t_measured += dt
             n_measured += nstep

@@ -193,7 +193,8 @@ def shard_imp_space(imp_up, imp_dn, imp_ham, n_dev):
 # ---------------------------------------------------------------------------
 
 def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
-                      e_trial_initial: float, seed: int = 0):
+                      e_trial_initial: float, seed: int = 0,
+                      nstep_per_call: int = 1):
     """Build (jitted sharded step_fn, sharded state, sharded tables).
 
     cfg: WalkConfig with axis_name='d', n_dev=len(mesh); mwalk/cap_spawn are
@@ -271,11 +272,26 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
         imp_vals=sharded)
     stats_specs = dict(e_num_gen=repl, e_den_gen=repl, w_abs_gen=repl,
                        nwalk=repl, e_gen=repl, n_spawn=repl)
+    if nstep_per_call > 1:
+        stats_specs["e_num_sum"] = repl
+        stats_specs["e_den_sum"] = repl
+
+    from ..algo.walk import _walk_step_impl
 
     def _local_step(st, tb):
         # inside shard_map: nwalk/key arrive with a leading size-1 shard dim
         st = st._replace(nwalk=st.nwalk[0], key=st.key[0])
-        st2, stats = walk_step(st, tb, cfg)
+        if nstep_per_call == 1:
+            st2, stats = _walk_step_impl(st, tb, cfg)
+        else:
+            # a whole block per dispatch (collectives inside lax.scan)
+            def body(s_, _):
+                return _walk_step_impl(s_, tb, cfg)
+            st2, stats_steps = jax.lax.scan(body, st, None,
+                                            length=nstep_per_call)
+            stats = jax.tree_util.tree_map(lambda x: x[-1], stats_steps)
+            stats["e_num_sum"] = jnp.sum(stats_steps["e_num_gen"])
+            stats["e_den_sum"] = jnp.sum(stats_steps["e_den_gen"])
         st2 = st2._replace(nwalk=st2.nwalk[None], key=st2.key[None])
         return st2, stats
 
