@@ -63,7 +63,7 @@ def main():
                      tau=2e-3, w_abs_target=40_000.0, has_singles=True)
     out = run_walk(system, trial, cfg, nstep=100, nblk=3, nblk_eq=2,
                    w_abs_begin=10_000.0, e_trial_initial=trial.e_trial,
-                   verbose=True, mode="steps")
+                   verbose=True, mode="scan")
     pop = float(np.mean(out.w_abs_trace[-300:]))
     walker_steps = pop * out.steps_per_sec
     print(f"# e_mixed={out.e_mixed:.6f} +- {out.e_err:.6f}  "

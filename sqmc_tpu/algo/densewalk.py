@@ -1,0 +1,360 @@
+"""Dense-vector projector Monte Carlo for toy/dense Hamiltonians, with the
+full run_type family: none/no_fixed_node, fixed_node1..4, partial_node,
+release_node, vmc, and sr (stochastic reconfiguration).
+
+This is the TPU-native re-design of the reference's small-model walk path
+(ref: do_walk.f90 move_heat_bath2:4395-4550 for the per-column projector
+variants, run_type dispatch :38-50,240-330; sr: stochastic_reconfiguration
+:7258-7392; guiding wavefunction psi_g: read_psi_trial.f90).  Where the
+reference keeps a walker list of indices and spawns column-by-column, here
+the whole signed population is a dense weight vector w[N] in HBM and one
+generation is
+
+    w  <-  P @ w        (an [N,N]x[N] MXU matvec = FCIQMC with perfect
+                         annihilation; the walker list is just a sparse
+                         view of the same vector)
+
+followed by stochastic min_wt rounding (which keeps the vector sparse in
+expectation and reproduces walker-population statistics), population
+control, and mixed-estimator accumulation - identical formulas to
+algo/walk.py.
+
+Projector construction per run_type (column j, off-diagonal i):
+  base          P_ij = -tau*Ht_ij,  P_jj = 1 + tau*(E_T - H_jj), where
+                Ht = (psi_g_i/psi_g_j) H_ij under importance sampling.
+  fixed_node1   sign-violating P_ij<0 are deleted and their sum added to
+                P_jj (the standard discrete-space FN effective Hamiltonian).
+  fixed_node2   P_ij -> |P_ij| (spawn with flipped sign).
+  fixed_node3   sign-violating P_ij dropped (no diagonal dump).
+  fixed_node4   alias of fixed_node1 in a dense basis (the reference's
+                mode-4 differs only through the Gutzwiller factors of the
+                hubbard2 path).
+  partial_node  eps=0 exact .. eps=1 fixed_node1: violators scaled by
+                (1-eps), eps of their sum dumped on the diagonal.
+  release_node  fixed_node1 projector until `release_step`, exact after.
+  vmc           violators dropped, then each column normalized to sum 1
+                (weights stay positive; samples the guiding distribution).
+  sr            partial_node(eps) + importance sampling + comb
+                reconfiguration of the weight vector each step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+RUN_TYPES = ("none", "no_fixed_node", "fixed_node1", "fixed_node2",
+             "fixed_node3", "fixed_node4", "partial_node", "release_node",
+             "vmc", "sr")
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseWalkConfig:
+    ndet: int
+    tau: float
+    w_abs_target: float
+    run_type: str = "none"
+    importance_sampling: int = 0
+    partial_node_eps: float = 0.0
+    release_step: int = 0              # release_node: switch step
+    min_wt: float = 0.5
+    pop_ctrl_exponent: float = 10.0
+    reweight_factor_inv_max: float = 2.0
+    sr_nwalk: int = 0                  # sr: comb size (0 = w_abs_target)
+
+    def __post_init__(self):
+        if self.run_type not in RUN_TYPES:
+            raise ValueError(f"unknown run_type {self.run_type!r}; one of "
+                             f"{RUN_TYPES} (hci/selected_ci/trunc_lanc are "
+                             "separate drivers)")
+
+
+class DenseTables(NamedTuple):
+    p_off: jnp.ndarray        # [N,N] off-diagonal propagator (selected type)
+    p_diag0: jnp.ndarray      # [N] diagonal at e_trial=0 (incl. FN dump)
+    p_off_exact: jnp.ndarray  # exact projector (for release_node)
+    p_diag0_exact: jnp.ndarray
+    a_num: jnp.ndarray        # estimator vectors: E = (a_num.w)/(a_den.w)
+    a_den: jnp.ndarray
+    e_loc_g: jnp.ndarray      # local energy of psi_g (vmc estimator)
+
+
+class DenseWalkState(NamedTuple):
+    w: jnp.ndarray
+    key: jnp.ndarray
+    step: jnp.ndarray
+    e_trial: jnp.ndarray
+    e_est: jnp.ndarray
+    reweight_factor_inv: jnp.ndarray
+    equilibrated: jnp.ndarray
+    e_num_blkabs_cum: jnp.ndarray
+    e_den_blkabs_cum: jnp.ndarray
+    e_num_blk: jnp.ndarray
+    e_den_blk: jnp.ndarray
+    w_abs_gen: jnp.ndarray
+
+
+def _projector_parts(ham, tau, run_type, psi_g, importance_sampling,
+                     partial_node_eps):
+    """(p_off, p_diag0) for one run_type; p_diag0 is the diagonal column
+    entry at e_trial=0 (the caller adds tau*e_trial at runtime)."""
+    N = ham.shape[0]
+    h = np.asarray(ham, np.float64)
+    if importance_sampling:
+        g = np.asarray(psi_g, np.float64)
+        ht = h * (g[:, None] / g[None, :])
+    else:
+        ht = h
+    p = -tau * ht
+    np.fill_diagonal(p, 0.0)
+    diag0 = 1.0 - tau * np.diag(h)            # + tau*e_trial at runtime
+
+    viol = p < 0                               # sign-violating flows
+    if run_type in ("fixed_node1", "fixed_node4", "release_node"):
+        diag0 = diag0 + np.sum(np.where(viol, p, 0.0), axis=0)
+        p = np.where(viol, 0.0, p)
+    elif run_type == "fixed_node2":
+        p = np.abs(p)
+    elif run_type in ("fixed_node3", "vmc"):
+        p = np.where(viol, 0.0, p)
+    elif run_type in ("partial_node", "sr"):
+        eps = partial_node_eps
+        diag0 = diag0 + eps * np.sum(np.where(viol, p, 0.0), axis=0)
+        p = np.where(viol, (1.0 - eps) * p, p)
+    if run_type == "vmc":
+        # column-stochastic: pure sampling, no growth
+        col = np.sum(p, axis=0) + diag0
+        p = p / col[None, :]
+        diag0 = diag0 / col
+    return p, diag0
+
+
+def build_dense_tables(system, cfg: DenseWalkConfig, psi_t, psi_g,
+                       e_trial: float | None = None) -> DenseTables:
+    ham = np.asarray(system.ham, np.float64)
+    psi_t = np.asarray(psi_t, np.float64)
+    psi_g = np.asarray(psi_g, np.float64) if psi_g is not None else psi_t
+    imp = cfg.importance_sampling
+    if cfg.run_type == "sr" and not imp:
+        raise ValueError("Stochastic reconfiguration does not work without "
+                         "importance sampling (ref: do_walk.f90:328)")
+
+    p_off, p_diag0 = _projector_parts(ham, cfg.tau, cfg.run_type, psi_g,
+                                      imp, cfg.partial_node_eps)
+    p_ex, p_dex = _projector_parts(ham, cfg.tau, "none", psi_g, imp, 0.0)
+
+    hpsit = ham @ psi_t
+    if imp:
+        a_num, a_den = hpsit / psi_g, psi_t / psi_g
+    else:
+        a_num, a_den = hpsit, psi_t
+    e_loc_g = (ham @ psi_g) / psi_g
+
+    return DenseTables(
+        p_off=jnp.asarray(p_off), p_diag0=jnp.asarray(p_diag0),
+        p_off_exact=jnp.asarray(p_ex), p_diag0_exact=jnp.asarray(p_dex),
+        a_num=jnp.asarray(a_num), a_den=jnp.asarray(a_den),
+        e_loc_g=jnp.asarray(e_loc_g))
+
+
+def init_dense_state(cfg: DenseWalkConfig, psi_t, psi_g, w_abs_begin: float,
+                     e_trial_initial: float, seed: int = 0,
+                     start_index: int | None = None) -> DenseWalkState:
+    """Initial population ~ psi_t (or psi_g under importance sampling,
+    where w carries psi_g*Phi), scaled to w_abs_begin."""
+    w0 = np.asarray(psi_t, np.float64).copy()
+    if cfg.importance_sampling:
+        # importance-sampled runs carry f = psi_g * Phi; initial Phi ~
+        # psi_t, and positive-projector run types take |w| (ref:
+        # do_walk.f90:1212-1217 walk_wt=abs(walk_wt))
+        w0 = np.abs(np.asarray(psi_g, np.float64) * w0)
+    if start_index is not None:
+        w0 = np.zeros(cfg.ndet)
+        w0[start_index] = 1.0
+    w0 = w0 * (w_abs_begin / max(np.sum(np.abs(w0)), 1e-300))
+    f64 = functools.partial(jnp.asarray, dtype=jnp.float64)
+    return DenseWalkState(
+        w=jnp.asarray(w0), key=jax.random.PRNGKey(seed),
+        step=jnp.asarray(0, jnp.int32),
+        e_trial=f64(e_trial_initial), e_est=f64(e_trial_initial),
+        reweight_factor_inv=f64(1.0), equilibrated=jnp.asarray(False),
+        e_num_blkabs_cum=f64(0.0), e_den_blkabs_cum=f64(0.0),
+        e_num_blk=f64(0.0), e_den_blk=f64(0.0), w_abs_gen=f64(np.sum(np.abs(w0))))
+
+
+def _comb_reconfigure(w, key, n_comb):
+    """Sorella comb resampling (ref: stochastic_reconfiguration,
+    do_walk.f90:7258): systematic sampling of n_comb equal-weight walkers
+    from |w|, preserving sum|w| exactly and E[w'] = w."""
+    aw = jnp.abs(w)
+    total = jnp.sum(aw)
+    cum = jnp.cumsum(aw)
+    u = jax.random.uniform(key, (), dtype=jnp.float64)
+    pts = (u + jnp.arange(n_comb, dtype=jnp.float64)) * (total / n_comb)
+    idx = jnp.searchsorted(cum, pts)
+    counts = jnp.zeros(w.shape[0], jnp.float64).at[
+        jnp.clip(idx, 0, w.shape[0] - 1)].add(1.0)
+    return jnp.sign(w) * counts * (total / n_comb)
+
+
+def _dense_step_impl(state: DenseWalkState, tables: DenseTables,
+                     cfg: DenseWalkConfig):
+    key, k_round, k_comb = jax.random.split(state.key, 3)
+    vmc = cfg.run_type == "vmc"
+
+    if cfg.run_type == "release_node":
+        released = state.step >= cfg.release_step
+        p_off = jnp.where(released, tables.p_off_exact, tables.p_off)
+        p_diag0 = jnp.where(released, tables.p_diag0_exact, tables.p_diag0)
+    else:
+        p_off, p_diag0 = tables.p_off, tables.p_diag0
+
+    diag = p_diag0 if vmc else p_diag0 + cfg.tau * state.e_trial
+    w = p_off @ state.w + diag * state.w
+
+    # stochastic min_wt rounding keeps the vector sparse in expectation
+    # (ref: reduce_my_walker do_walk.f90:7196 semantics)
+    if cfg.min_wt > 0:
+        u = jax.random.uniform(k_round, w.shape, dtype=jnp.float64)
+        tiny = (jnp.abs(w) < cfg.min_wt) & (w != 0)
+        survive = u < jnp.abs(w) / cfg.min_wt
+        w = jnp.where(tiny, jnp.where(survive, jnp.sign(w) * cfg.min_wt, 0.0),
+                      w)
+
+    if cfg.run_type == "sr":
+        n_comb = cfg.sr_nwalk or int(cfg.w_abs_target)
+        w = _comb_reconfigure(w, k_comb, n_comb)
+
+    if not vmc:
+        w = w * state.reweight_factor_inv
+
+    # ---- estimators ------------------------------------------------------
+    if vmc:
+        e_num_gen = jnp.sum(jnp.abs(w) * tables.e_loc_g)
+        e_den_gen = jnp.sum(jnp.abs(w))
+    else:
+        e_num_gen = jnp.sum(tables.a_num * w)
+        e_den_gen = jnp.sum(tables.a_den * w)
+    w_abs_gen = jnp.sum(jnp.abs(w))
+    e_num_blk = state.e_num_blk + e_num_gen
+    e_den_blk = state.e_den_blk + e_den_gen
+    e_est = jnp.where(
+        state.e_den_blkabs_cum + jnp.abs(e_den_blk) != 0,
+        (state.e_num_blkabs_cum + e_num_blk * jnp.sign(e_den_blk)) /
+        (state.e_den_blkabs_cum + jnp.abs(e_den_blk)),
+        state.e_est)
+
+    # ---- population control (same formulas as algo/walk.py) --------------
+    e_trial_new = jnp.where(
+        state.equilibrated, state.e_trial,
+        state.e_trial + jnp.sign(e_est - state.e_trial) *
+        jnp.minimum(jnp.abs(e_est - state.e_trial), 1.0))
+    pexp = jnp.minimum(1.0, cfg.tau * cfg.pop_ctrl_exponent)
+    ratio = (cfg.w_abs_target / jnp.maximum(w_abs_gen, 1e-300)) ** pexp
+    rw_eq = jnp.clip(ratio, 0.5, 2.0)
+    rw_main = jnp.clip(ratio / (1.0 + cfg.tau * (e_trial_new - e_est)),
+                       0.5, 2.0)
+    reweight = jnp.where(state.equilibrated, rw_main, rw_eq)
+    reweight = jnp.minimum(reweight, cfg.reweight_factor_inv_max)
+    if vmc:
+        reweight = jnp.asarray(1.0, jnp.float64)
+        e_trial_new = state.e_trial
+
+    new_state = DenseWalkState(
+        w=w, key=key, step=state.step + 1, e_trial=e_trial_new, e_est=e_est,
+        reweight_factor_inv=reweight, equilibrated=state.equilibrated,
+        e_num_blkabs_cum=state.e_num_blkabs_cum,
+        e_den_blkabs_cum=state.e_den_blkabs_cum,
+        e_num_blk=e_num_blk, e_den_blk=e_den_blk, w_abs_gen=w_abs_gen)
+    stats = dict(e_num_gen=e_num_gen, e_den_gen=e_den_gen,
+                 w_abs_gen=w_abs_gen,
+                 e_gen=e_num_gen / jnp.where(e_den_gen == 0, 1e-300,
+                                             e_den_gen))
+    return new_state, stats
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "nstep"),
+                   donate_argnums=(0,))
+def dense_walk_block(state, tables, cfg: DenseWalkConfig, nstep: int):
+    def body(st, _):
+        return _dense_step_impl(st, tables, cfg)
+    return jax.lax.scan(body, state, None, length=nstep)
+
+
+class DenseWalkResult(NamedTuple):
+    e_mixed: float
+    e_err: float
+    block_energies: np.ndarray
+    w_abs_trace: np.ndarray
+    state: DenseWalkState
+
+
+def run_dense_walk(system, cfg: DenseWalkConfig, psi_t, psi_g=None,
+                   nstep: int = 100, nblk: int = 10, nblk_eq: int = 2,
+                   w_abs_begin: float = 100.0,
+                   e_trial_initial: float | None = None, seed: int = 0,
+                   verbose: bool = False) -> DenseWalkResult:
+    """Block/step driver for the dense engine (ref: walk do_walk.f90:2113
+    block structure; blocking error over post-equilibration blocks)."""
+    psi_g = psi_t if psi_g is None else psi_g
+    if e_trial_initial is None:
+        e_trial_initial = float(
+            np.dot(psi_t, system.ham @ psi_t) / np.dot(psi_t, psi_t))
+    tables = build_dense_tables(system, cfg, psi_t, psi_g)
+    state = init_dense_state(cfg, psi_t, psi_g, w_abs_begin,
+                             e_trial_initial, seed)
+
+    blocks, wtr = [], []
+    for iblk in range(nblk):
+        if iblk >= nblk_eq:
+            state = state._replace(equilibrated=jnp.asarray(True))
+        state, stats = dense_walk_block(state, tables, cfg, nstep)
+        num = float(jnp.sum(stats["e_num_gen"]))
+        den = float(jnp.sum(stats["e_den_gen"]))
+        wtr.extend(np.asarray(stats["w_abs_gen"]).tolist())
+        if iblk >= nblk_eq and den != 0:
+            blocks.append(num / den)
+        state = state._replace(
+            e_num_blkabs_cum=state.e_num_blkabs_cum +
+            state.e_num_blk * jnp.sign(state.e_den_blk),
+            e_den_blkabs_cum=state.e_den_blkabs_cum +
+            jnp.abs(state.e_den_blk),
+            e_num_blk=jnp.zeros_like(state.e_num_blk),
+            e_den_blk=jnp.zeros_like(state.e_den_blk))
+        if verbose:
+            print(f"block {iblk:4d}  e_blk="
+                  f"{num / den if den else float('nan'):12.6f}  "
+                  f"w_abs={float(state.w_abs_gen):10.1f}  "
+                  f"e_trial={float(state.e_trial):12.6f}")
+    blocks = np.asarray(blocks)
+    e_mixed = float(np.mean(blocks)) if len(blocks) else float("nan")
+    e_err = float(np.std(blocks) / max(np.sqrt(len(blocks) - 1), 1)) \
+        if len(blocks) > 1 else float("inf")
+    return DenseWalkResult(e_mixed, e_err, blocks, np.asarray(wtr), state)
+
+
+def deterministic_ground_state(system, tau: float | None = None,
+                               n_iter: int = 2000, tol: float = 1e-12):
+    """Power iteration with the exact projector: the min_wt=0,
+    no-population-noise limit of the walk (used by tests and by
+    diagonalize_ham cross-checks)."""
+    ham = np.asarray(system.ham, np.float64)
+    w = np.linalg.eigvalsh(ham)
+    if tau is None:
+        tau = 1.9 / (w[-1] - w[0])
+    v = np.ones(ham.shape[0]) / np.sqrt(ham.shape[0])
+    e = float(v @ ham @ v)
+    for _ in range(n_iter):
+        v2 = v + tau * (e * v - ham @ v)
+        v2 /= np.linalg.norm(v2)
+        e2 = float(v2 @ ham @ v2)
+        if abs(e2 - e) < tol:
+            v, e = v2, e2
+            break
+        v, e = v2, e2
+    return e, v

@@ -18,9 +18,113 @@ from .config import parse_input
 from .utils.timers import my_second
 
 
+def run_toy(cfg, verbose: bool = True):
+    """Toy dense-matrix path: `fictitious`, `read`, and dense `hubbard`
+    (ref: hamiltonian_mod.f90:81-92,273-344,393-410) driven through the
+    dense-vector walk engine with the requested run_type."""
+    import numpy as np
+    from .systems.toy import (make_fictitious_system, make_read_system,
+                              toy_psi_t)
+    from .algo.densewalk import DenseWalkConfig, run_dense_walk
+
+    if cfg.hamiltonian_type == "fictitious":
+        print(f"bosonic, spectrum_coef, spectrum_power, ham_diag_fluc, "
+              f"ham_offdiag_fluc ={cfg.bosonic:2d}{cfg.spectrum_coef:8.3f}"
+              f"{cfg.spectrum_power:8.3f}{cfg.ham_diag_fluc:8.3f}"
+              f"{cfg.ham_offdiag_fluc:8.3f}")
+        system = make_fictitious_system(
+            cfg.ndet_toy, cfg.bosonic, cfg.spectrum_coef, cfg.spectrum_power,
+            cfg.ham_diag_fluc, cfg.ham_offdiag_fluc,
+            seed=_seed4(cfg.seeds[0]))
+    elif cfg.hamiltonian_type == "read":
+        system = make_read_system("hamiltonian")
+    else:  # dense hubbard toy
+        from .systems.hubbard.system import make_hubbard_dense_system
+        system = make_hubbard_dense_system(cfg.l_x, cfg.l_y, cfg.t_hub,
+                                           cfg.u_hub, cfg.nup,
+                                           cfg.nelec - cfg.nup, pbc=cfg.pbc)
+    ndet = system.ndet
+    print(f"ndet={ndet:15d}")
+
+    e_trial = cfg.e_trial_initial
+    if cfg.diagonalize_ham:
+        w, g = system.diagonalize(verbose=verbose)
+        print(f"Setting e_trial (from diagonalizing Hamiltonian) ="
+              f"{w[0]:10.5f}")
+        print(f"energy_exact={w[0]:10.5f}")
+        e_trial = float(w[0])
+
+    if cfg.ndet_psi_t > 0:
+        psi_t, psi_g = toy_psi_t(ndet, cfg.iwdet_psi_t, cfg.cdet_psi_t)
+    else:
+        psi_t = np.zeros(ndet)
+        psi_t[0] = 1.0
+        psi_g = np.full(ndet, 1.0 / np.sqrt(ndet))
+
+    tau = cfg.tau
+    if tau == 0.0:
+        _, _, tau = system.tau_optimal(cfg.tau_multiplier)
+        print(f"tau_multiplier, tau={cfg.tau_multiplier:10.6f}{tau:10.6f}")
+
+    run_type = "none" if cfg.run_type in ("no_fixed_node",) else cfg.run_type
+    wcfg = DenseWalkConfig(
+        ndet=ndet, tau=tau, w_abs_target=cfg.w_abs_target,
+        run_type=run_type, importance_sampling=cfg.importance_sampling,
+        partial_node_eps=cfg.partial_node_eps,
+        release_step=cfg.nstep * cfg.nblk_eq // 2 or 1,
+        min_wt=cfg.min_wt, pop_ctrl_exponent=cfg.population_control_exponent,
+        reweight_factor_inv_max=cfg.reweight_factor_inv_max)
+    out = run_dense_walk(system, wcfg, psi_t, psi_g, nstep=cfg.nstep,
+                         nblk=cfg.nblk, nblk_eq=cfg.nblk_eq,
+                         w_abs_begin=cfg.w_abs_begin,
+                         e_trial_initial=e_trial if e_trial else None,
+                         seed=cfg.seeds[0], verbose=verbose)
+    print(f"e_mixed={out.e_mixed:26.9f} +-{out.e_err:.9f}")
+    if system.energy_exact is not None:
+        print(f"error vs exact={out.e_mixed - system.energy_exact:14.9f}")
+    return out
+
+
+def _seed4(seed: int):
+    """Split an integer seed into rannyu's 4x12-bit state."""
+    return ((seed >> 36) & 0xFFF, (seed >> 24) & 0xFFF,
+            (seed >> 12) & 0xFFF, seed & 0xFFF)
+
+
+def run_det_walk(cfg, system, verbose: bool = True):
+    """SQMC walk on a determinant system (chem/heg/hubbardk/hubbard2)
+    driven from card input (ref: do_walk.f90 walk:1462)."""
+    from .algo.semistoch import build_trial_wavefunction
+    from .algo.walk import WalkConfig, run_walk
+
+    trial = build_trial_wavefunction(
+        system, eps_var=cfg.eps_var if cfg.eps_var < 1 else 2e-3,
+        n_psi_t=max(cfg.n_truncate_det or 200, 1),
+        n_imp=cfg.size_deterministic or 1000, verbose=verbose)
+    mwalk = cfg.mwalk or 1 << 16
+    wcfg = WalkConfig(
+        mwalk=mwalk, cap_spawn=4 * mwalk, norb=system.norb, nup=system.nup,
+        ndn=system.ndn, n_words=system.n_words, tau=cfg.tau or 2e-3,
+        w_abs_target=cfg.w_abs_target, r_initiator=cfg.r_initiator,
+        initiator_power=cfg.initiator_power, min_wt=cfg.min_wt,
+        always_spawn_cutoff=cfg.always_spawn_cutoff,
+        pop_ctrl_exponent=cfg.population_control_exponent,
+        reweight_factor_inv_max=cfg.reweight_factor_inv_max,
+        semistochastic=cfg.semistochastic, has_singles=system.has_singles)
+    out = run_walk(system, trial, wcfg, nstep=cfg.nstep, nblk=cfg.nblk,
+                   nblk_eq=cfg.nblk_eq, w_abs_begin=cfg.w_abs_begin,
+                   e_trial_initial=cfg.e_trial_initial or trial.e_trial,
+                   seed=cfg.seeds[0], verbose=verbose)
+    print(f"e_mixed={out.e_mixed:26.9f} +-{out.e_err:.9f}")
+    return out
+
+
 def run_from_config(cfg, fcidump: str | None = None, verbose: bool = True):
     from .algo.hci import run_hci
     from .algo.pt import do_pt
+
+    if cfg.hamiltonian_type in ("fictitious", "read", "hubbard"):
+        return run_toy(cfg, verbose=verbose)
 
     if cfg.hamiltonian_type == "chem":
         from .systems.base import make_chem_system
@@ -36,14 +140,24 @@ def run_from_config(cfg, fcidump: str | None = None, verbose: bool = True):
         print(f"For this cell, HF kinetic, exchange, total energies = "
               f"{system.extra['energy_hf']:.8f}")
         print(f"Madelung energy ={system.extra['energy_madelung']:10.6f}")
-    elif cfg.hamiltonian_type in ("hubbardk", "hubbard2"):
-        raise SystemExit("hubbard card input not wired yet; use the API")
+    elif cfg.hamiltonian_type == "hubbardk":
+        from .systems.hubbard.system import make_hubbard_k_system
+        system = make_hubbard_k_system(cfg.l_x, cfg.l_y, cfg.t_hub,
+                                       cfg.u_hub, cfg.nup,
+                                       cfg.nelec - cfg.nup)
+    elif cfg.hamiltonian_type == "hubbard2":
+        from .systems.hubbard.system import make_hubbard_real_system
+        system = make_hubbard_real_system(cfg.l_x, cfg.l_y, cfg.t_hub,
+                                          cfg.u_hub, cfg.nup,
+                                          cfg.nelec - cfg.nup, pbc=cfg.pbc)
     else:
         raise SystemExit(f"unknown hamiltonian_type {cfg.hamiltonian_type}")
 
     if cfg.run_type != "hci":
-        raise SystemExit(f"run_type {cfg.run_type} not wired into the CLI "
-                         "yet; use the API (algo.walk)")
+        my_second("BEG", "walk")
+        out = run_det_walk(cfg, system, verbose=verbose)
+        my_second("END", "walk")
+        return out
 
     my_second("BEG", "variational part")
     res = run_hci(system, eps_var=cfg.eps_var,

@@ -76,6 +76,30 @@ class SqmcInput:
     n_mc: int = -1
     eps_pt_big: float = -1.0
     hf_symmetry: int | None = None
+    # walk run_type extras (ref do_walk.f90:321-401)
+    partial_node_eps: float = 0.0
+    use_exponential_projector: bool = False
+    psi_g_energy: float = 0.0
+    psi_g_epsilon: float = 0.0
+    size_deterministic: int = 0
+    initiator_rescale_power: float = 0.0
+    # toy backends (ref hamiltonian_mod.f90:81-92,320-344)
+    bosonic: int = 1
+    spectrum_coef: float = 1.0
+    spectrum_power: float = 1.0
+    ham_diag_fluc: float = 0.0
+    ham_offdiag_fluc: float = 0.1
+    ndet_toy: int = 0
+    ndet_psi_t: int = 0
+    iwdet_psi_t: list | None = None
+    cdet_psi_t: list | None = None
+    # hubbard cards (ref hubbard.f90 read_hubbard:138)
+    l_x: int = 0
+    l_y: int = 0
+    t_hub: float = 1.0
+    u_hub: float = 4.0
+    pbc: bool = True
+    neel_up_only: bool = False
 
 
 def _parse_bool(tok: str) -> bool:
@@ -208,10 +232,36 @@ def parse_input(text: str) -> SqmcInput:
         if len(t) > 3:
             cfg.n_states = int(t[3])
         cfg.dump_wf_var = _parse_bool(take(1)[0])
+    else:
+        # walk-mode card sequence (ref do_walk.f90:321-401)
+        if cfg.run_type in ("partial_node", "sr"):
+            cfg.partial_node_eps = float(take(1)[0])
+        t = take(2)
+        cfg.semistochastic = _parse_bool(t[0])
+        if len(t) > 1:
+            cfg.use_exponential_projector = _parse_bool(t[1])
+        if cfg.semistochastic:
+            diff_from_psi_t = _parse_bool(take(1)[0])
+            if diff_from_psi_t:
+                imp_iters = int(take(1)[0])
+                for _ in range(3):        # norb_imp/n_imp_init/n_imp_trunc
+                    take(imp_iters)
+            else:
+                cfg.size_deterministic = int(take(1)[0])
+            t = take(3)
+            cfg.hf_to_psit = _parse_bool(t[0])
+            if len(t) > 1:
+                cfg.c_t_initiator = _parse_bool(t[1])
+            if len(t) > 2:
+                cfg.always_spawn_cutoff = float(t[2])
+        if cfg.importance_sampling == 1:
+            t = take(2)
+            cfg.psi_g_energy = float(t[0])
+            cfg.psi_g_epsilon = float(t[1])
 
     # optional SQMC extras before the hamiltonian card
-    while not re.match(r"^['\"]?(chem|heg|hubbard)", lines[i].strip(),
-                       re.I):
+    while not re.match(r"^['\"]?(chem|heg|hubbard|fictitious|read)\b",
+                       lines[i].strip(), re.I):
         s = lines[i].lower()
         if "semistoch" in s:
             cfg.semistochastic = _parse_bool(_tokens(lines[i], 1)[0])
@@ -260,6 +310,44 @@ def parse_input(text: str) -> SqmcInput:
         t = take(2)
         cfg.nelec, cfg.nup = int(t[0]), int(t[1])
         cfg.cutoff_radius = float(take(1)[0])
+    elif cfg.hamiltonian_type in ("fictitious", "read"):
+        # ref hamiltonian_mod.f90:81-92 (fictitious cards), :337-339
+        # (diagonalize_ham), read_psi_trial.f90:24-35 (toy psi_t)
+        if cfg.hamiltonian_type == "fictitious":
+            t = take(5)
+            cfg.bosonic = int(t[0])
+            cfg.spectrum_coef = float(t[1])
+            cfg.spectrum_power = float(t[2])
+            cfg.ham_diag_fluc = float(t[3])
+            cfg.ham_offdiag_fluc = float(t[4])
+            cfg.ndet_toy = int(take(1)[0])
+        if i < len(lines):
+            cfg.diagonalize_ham = int(take(1)[0])
+        if i < len(lines):
+            cfg.ndet_psi_t = int(take(1)[0])
+            cfg.iwdet_psi_t = [int(x) for x in take(cfg.ndet_psi_t)]
+            cfg.cdet_psi_t = [float(x) for x in take(cfg.ndet_psi_t)]
+    elif cfg.hamiltonian_type in ("hubbard", "hubbard2", "hubbardk",
+                                  "hubbarddm"):
+        # ref hamiltonian_mod.f90:273-283 ('hubbard' dense toy) and
+        # hubbard.f90 read_hubbard:138 (l_x,l_y / pbc / t,U / n_alpha,n_beta)
+        t = take(2)
+        cfg.l_x, cfg.l_y = int(t[0]), int(t[1])
+        t = take(2)
+        cfg.pbc = _parse_bool(t[0])
+        if len(t) > 1:
+            cfg.neel_up_only = _parse_bool(t[1])
+        t = take(2)
+        cfg.t_hub, cfg.u_hub = float(t[0]), float(t[1])
+        t = take(2)
+        cfg.nup = int(t[0])
+        cfg.nelec = int(t[0]) + int(t[1])
+        if i < len(lines):
+            cfg.diagonalize_ham = int(take(1)[0])
+        if i < len(lines):
+            cfg.ndet_psi_t = int(take(1)[0])
+            cfg.iwdet_psi_t = [int(x) for x in take(cfg.ndet_psi_t)]
+            cfg.cdet_psi_t = [float(x) for x in take(cfg.ndet_psi_t)]
 
     # namelist overrides
     sc = nl.get("selected_ci", {})

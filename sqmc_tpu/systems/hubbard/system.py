@@ -73,6 +73,35 @@ def make_hubbard_k_system(l_x: int, l_y: int, t: float, U: float, nup: int,
     )
 
 
+def make_hubbard_dense_system(l_x: int, l_y: int, t: float, U: float,
+                              nup: int, ndn: int, pbc: bool = True):
+    """The reference's `hubbard` toy type: the full Hilbert-space dense
+    Hamiltonian of a small real-space lattice (ref: hamiltonian_mod.f90:
+    273-301, make_hubbard_matrix_2d:937), as a ToySystem for the
+    dense-vector walk engine (algo/densewalk.py)."""
+    import itertools
+    from ..toy import ToySystem
+    from ...algo.sparseham import build_sparse_ham
+
+    sysr = make_hubbard_real_system(l_x, l_y, t, U, nup, ndn, pbc=pbc,
+                                    with_heatbath=False)
+    nsites = l_x * l_y
+    ups = [dets.det_from_orbs(c, nsites)
+           for c in itertools.combinations(range(nsites), nup)]
+    dns = [dets.det_from_orbs(c, nsites)
+           for c in itertools.combinations(range(nsites), ndn)]
+    # det index = iup*len(dns)+idn, both spin strings in lex orbital order
+    up = np.repeat(np.stack(ups), len(dns), axis=0)
+    dn = np.tile(np.stack(dns), (len(ups), 1))
+    sp = build_sparse_ham(sysr.table, up, dn, nup, ndn, nsites)
+    n = len(up)
+    ham = np.zeros((n, n))
+    ham[sp.rows, sp.cols] = sp.vals
+    ham[sp.cols, sp.rows] = sp.vals
+    ham[np.diag_indices(n)] = sp.diag
+    return ToySystem(ham=ham, kind="hubbard-dense")
+
+
 def make_hubbard_real_system(l_x: int, l_y: int, t: float, U: float,
                              nup: int, ndn: int, pbc: bool = True,
                              with_heatbath: bool = True) -> FermionSystem:

@@ -39,3 +39,57 @@ def test_namelist_parsing():
     assert cfg2.norb == 26
     assert cfg2.eps_var_sched[:2] == [2e-3, 2e-3]
     assert cfg2.hf_symmetry == 1
+
+
+FICTITIOUS_INPUT = """\
+1234567 7654321                    irand_seed
+100 8 2 0                          nstep,nblk,nblk_eq,ipr
+500 2000 0                         w_abs_gen_begin, w_abs_gen_target, MWALK
+0.5 0.                             tau_multiplier, tau
+1. 2.                              reweight_factor_inv_max_multiplier, reweight_factor_inv_max
+10. 0. 0.25                        population_control_expon, e_trial_initial, min_wt
+heat_bath2 0 1. 0 1.               proposal_method, importance_sampling, r_initiator, initiator_power, initiator_rescale_power
+none                               run_type
+.false. f                          semistochastic, use_exponential_projector
+'fictitious' 0                     hamiltonian_type,ipr
+1 1. 1. 0.5 1.0                    bosonic, spectrum_coef, spectrum_power, ham_diag_fluc, ham_offdiag_fluc
+20                                 ndet
+1                                  diagonalize_ham
+2                                  ndet_psi_t
+1 2                                iwdet_psi_t
+0.9 0.3                            cdet_psi_t
+"""
+
+
+def test_fictitious_walk_from_cards(tmp_path):
+    """run_type=none on a fictitious matrix through the card CLI; the
+    mixed energy must land within stochastic error of dense ED."""
+    inp = tmp_path / "i_fict"
+    inp.write_text(FICTITIOUS_INPUT)
+    out = subprocess.run(
+        [sys.executable, "-m", "sqmc_tpu", "-i", str(inp), "--cpu"],
+        capture_output=True, text=True, cwd=REPO, timeout=560)
+    assert out.returncode == 0, out.stderr[-2000:]
+    m = re.search(r"Setting e_trial \(from diagonalizing Hamiltonian\) ="
+                  r"\s*([-+0-9.]+)", out.stdout)
+    assert m
+    e_exact = float(m.group(1))
+    m = re.search(r"e_mixed=\s*([-+0-9.]+)\s*\+-\s*([0-9.]+)", out.stdout)
+    assert m, out.stdout[-2000:]
+    e, err = float(m.group(1)), float(m.group(2))
+    assert abs(e - e_exact) < max(5 * err, 0.05)
+
+
+def test_walk_card_layout_parsing(tmp_path):
+    """partial_node's extra eps card and the semistochastic card chain
+    (ref: do_walk.f90:321-401)."""
+    from sqmc_tpu.config import parse_input
+    text = FICTITIOUS_INPUT.replace(
+        "none                               run_type",
+        "partial_node                       run_type\n0.7    partial_node_eps")
+    cfg = parse_input(text)
+    assert cfg.run_type == "partial_node"
+    assert cfg.partial_node_eps == 0.7
+    assert cfg.ndet_toy == 20 and cfg.bosonic == 1
+    assert cfg.ndet_psi_t == 2 and cfg.iwdet_psi_t == [1, 2]
+    assert cfg.diagonalize_ham == 1
