@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import dets
-from ..ops import setalg
+from ..ops import prefix, setalg
 from ..systems.heatbath import tri_le, tri_lt
 from ..systems.chem import slater
 
@@ -444,7 +444,7 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
                          jnp.sign(wt) * cfg.always_spawn_cutoff,
                          wt / jnp.maximum(nchild, 1))
 
-    cum_child = jnp.cumsum(nchild)
+    cum_child = prefix.cumsum_i32(nchild.astype(jnp.int32)).astype(jnp.int64)
     total_spawn = cum_child[-1]
     off_child = cum_child - nchild
 
@@ -648,7 +648,7 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     neq = jnp.ones(N, bool)
     neq = neq.at[1:].set(jnp.any(s_up[1:] != s_up[:-1], axis=1) |
                          jnp.any(s_dn[1:] != s_dn[:-1], axis=1))
-    gid = jnp.cumsum(neq.astype(jnp.int32)) - 1
+    gid = prefix.cumsum_i32(neq.astype(jnp.int32)) - 1
     n_groups = gid[-1] + 1
 
     # D-space membership of each entry's det (for the -1 discard rule and
@@ -702,7 +702,7 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     keep = keep & ~kill
 
     # ---------------- compact to [M] ---------------------------------------
-    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    pos = prefix.cumsum_i32(keep.astype(jnp.int32)) - 1
     nwalk_new = jnp.sum(keep).astype(jnp.int32)
     overflow = overflow | (nwalk_new > M)
     # out-of-range destinations are dropped by scatter mode="drop"

@@ -153,6 +153,27 @@ def run_from_config(cfg, fcidump: str | None = None, verbose: bool = True):
     else:
         raise SystemExit(f"unknown hamiltonian_type {cfg.hamiltonian_type}")
 
+    if cfg.run_type == "selected_ci":
+        from .algo.legacy_ci import perform_selected_ci
+        my_second("BEG", "generate deterministically selected subspace")
+        res = perform_selected_ci(system, iters=cfg.nblk_eq or 4,
+                                  n_initiators=cfg.n_truncate_det or 1000,
+                                  n_truncate=cfg.n_truncate_det or 1000,
+                                  verbose=verbose)
+        my_second("END", "generate deterministically selected subspace")
+        print(f"Selected CI energy={res.energy:26.9f}  ndet={len(res.up)}")
+        return res
+    if cfg.run_type == "trunc_lanc":
+        from .algo.legacy_ci import perform_truncated_lanczos
+        my_second("BEG", "truncated lanczos")
+        res = perform_truncated_lanczos(system, iters=cfg.nblk_eq or 8,
+                                        n_initiators=cfg.n_truncate_det or
+                                        1000,
+                                        n_truncate=cfg.n_truncate_det or
+                                        1000, verbose=verbose)
+        my_second("END", "truncated lanczos")
+        print(f"Truncated Lanczos energy={res.energy:26.9f}")
+        return res
     if cfg.run_type != "hci":
         my_second("BEG", "walk")
         out = run_det_walk(cfg, system, verbose=verbose)

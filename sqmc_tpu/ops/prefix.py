@@ -1,0 +1,48 @@
+"""TPU-native prefix sums.
+
+XLA lowers a long 1-D `jnp.cumsum` to hierarchical `reduce-window` ops
+whose scoped-vmem footprint explodes inside `lax.scan` bodies (observed:
+64MB scoped vmem for a 80k-element cumsum vs the 16MB limit).  The
+MXU-native alternative: block the vector into [nb, B] rows, do the
+in-row inclusive scan as a [nb,B]x[B,B] triangular-ones matmul (full-f32
+precision => exact for integer values < 2^24), and recurse on the nb
+block totals.  One matmul + one tiny scan instead of a deep
+reduce-window tree.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_BLOCK = 128
+
+
+@functools.lru_cache(maxsize=8)
+def _tri_ones_np(block: int):
+    # U[k, j] = 1 for k <= j  =>  (x @ U)[j] = sum_{k<=j} x[k]  (inclusive)
+    import numpy as np
+    return np.triu(np.ones((block, block), np.float32))
+
+
+def cumsum_i32(x: jnp.ndarray, block: int = _BLOCK) -> jnp.ndarray:
+    """Inclusive 1-D cumsum of non-negative int32 with total < 2^24,
+    as blocked triangular matmuls (exact in f32 with HIGHEST precision)."""
+    n = x.shape[0]
+    if n <= block:
+        return jnp.cumsum(x)
+    nb = -(-n // block)
+    xf = jnp.zeros(nb * block, jnp.float32).at[:n].set(
+        x.astype(jnp.float32)).reshape(nb, block)
+    inner = jax.lax.dot(xf, jnp.asarray(_tri_ones_np(block)),
+                        precision=jax.lax.Precision.HIGHEST)
+    totals = inner[:, -1].astype(jnp.int32)
+    # exclusive block offsets; nb is small (n/128), recurse if still long
+    if nb <= block:
+        off = jnp.cumsum(totals) - totals
+    else:
+        off = cumsum_i32(totals, block) - totals
+    out = inner.astype(jnp.int32) + off[:, None]
+    return out.reshape(-1)[:n]
