@@ -41,15 +41,19 @@ def matvec(H: SparseHam, v):
 def davidson(H: SparseHam, n_states: int = 1,
              initial: np.ndarray | None = None,
              tol: float = 1e-10, max_iter: int = 200,
-             m_max: int | None = None, verbose: bool = False):
+             m_max: int | None = None, verbose: bool = False,
+             matvec_fn=None):
     """Lowest n_states eigenpairs.  Returns (evals [k], evecs [n,k]).
 
     initial: optional [n, k] starting vectors (previous HCI iteration's
     wavefunction; ref: hci.f90 starting_wts).
+    matvec_fn: optional replacement for the local COO matvec - e.g. the
+    mesh-sharded matvec of parallel.dist.make_sharded_matvec (the
+    davidson_sparse_mpi2 analog, SURVEY P4).
     """
     n = H.n
     k = n_states
-    if n <= k or n < 50:
+    if matvec_fn is None and (n <= k or n < 50):
         # dense fallback for tiny problems
         M = np.zeros((n, n))
         M[H.rows, H.cols] = H.vals
@@ -62,6 +66,9 @@ def davidson(H: SparseHam, n_states: int = 1,
     vals = jnp.asarray(H.vals)
     diag = jnp.asarray(H.diag)
     diag_np = H.diag
+    if matvec_fn is None:
+        def matvec_fn(v):
+            return _matvec(rows, cols, vals, diag, v)
     if m_max is None:
         m_max = max(8 * k, 48)
 
@@ -79,7 +86,7 @@ def davidson(H: SparseHam, n_states: int = 1,
         V = np.concatenate([V, rng.normal(size=(n, k - V.shape[1]))], axis=1)
         V, _ = np.linalg.qr(V)
 
-    W = np.asarray(_matvec(rows, cols, vals, diag, jnp.asarray(V)))
+    W = np.asarray(matvec_fn(jnp.asarray(V)))
     theta_old = np.full(k, np.inf)
     evals = None
     X = V[:, :k]
@@ -134,7 +141,7 @@ def davidson(H: SparseHam, n_states: int = 1,
             T = T[:, nrms > 1e-8] / np.maximum(nrms[nrms > 1e-8], 1e-30)
             if T.shape[1] == 0:
                 break
-        HT = np.asarray(_matvec(rows, cols, vals, diag, jnp.asarray(T)))
+        HT = np.asarray(matvec_fn(jnp.asarray(T)))
         V = np.concatenate([V, T], axis=1)
         W = np.concatenate([W, HT], axis=1)
 

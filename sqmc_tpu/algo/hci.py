@@ -41,7 +41,9 @@ class HCIResult:
 def run_hci(system, eps_var: float, eps_var_sched=None, n_states: int = 1,
             max_iters: int = 50, verbose: bool = True,
             keep_ham: bool = False, dump_wf_var: bool = False,
-            wf_cache_dir: str | None = None) -> HCIResult:
+            wf_cache_dir: str | None = None, mesh=None) -> HCIResult:
+    """mesh: optional jax.sharding.Mesh - Davidson matvecs run sharded
+    over it (SURVEY P4, davidson_sparse_mpi2 analog)."""
     nup, ndn, norb = system.nup, system.ndn, system.norb
 
     # variational wavefunction cache (ref: hci.f90 wf_eps_var=<eps> files)
@@ -147,7 +149,11 @@ def run_hci(system, eps_var: float, eps_var_sched=None, n_states: int = 1,
                 X0[np.argsort(H.diag)[s], s] = 1.0
 
         with phase("davidson", enabled=verbose):
-            evals, evecs = davidson(H, n_states, initial=X0)
+            mv = None
+            if mesh is not None and H.n >= 200:
+                from ..parallel.dist import make_sharded_matvec
+                mv = make_sharded_matvec(H, mesh)
+            evals, evecs = davidson(H, n_states, initial=X0, matvec_fn=mv)
 
         up, dn, wts, min_H_done = up2, dn2, evecs, mhd2
         old_energies = energies

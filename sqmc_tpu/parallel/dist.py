@@ -189,6 +189,69 @@ def shard_imp_space(imp_up, imp_dn, imp_ham, n_dev):
 
 
 # ---------------------------------------------------------------------------
+# Sharded Davidson matvec (SURVEY P4: davidson_sparse_mpi2 analog)
+# ---------------------------------------------------------------------------
+
+def make_sharded_matvec(H, mesh: Mesh):
+    """y = H v with the COO entries sharded over the mesh and the vector
+    replicated; each shard scatter-adds its partial contributions and a
+    `psum` over ICI assembles the full product (ref:
+    more_tools.f90 davidson_sparse_mpi2:2525 - local-row sparse matvec +
+    allreduce; here entries rather than rows are sharded, which also
+    load-balances dense rows).
+
+    Pass the returned function as davidson(..., matvec_fn=...).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    n_dev = mesh.devices.size
+    n = H.n
+    nnz = len(H.vals)
+    chunk = -(-max(nnz, 1) // n_dev)
+    pad = chunk * n_dev - nnz
+    # padded entries point at row 0 with value 0 (harmless)
+    rows = np.concatenate([H.rows, np.zeros(pad, H.rows.dtype)])
+    cols = np.concatenate([H.cols, np.zeros(pad, H.cols.dtype)])
+    vals = np.concatenate([H.vals, np.zeros(pad)])
+    dchunk = -(-n // n_dev)
+    diag_p = np.zeros(dchunk * n_dev)
+    diag_p[:n] = H.diag
+
+    P_ = P("d")
+    repl = P()
+
+    def _mv(r, c, v, dg, x):
+        single = x.ndim == 1
+        xm = x[:, None] if single else x
+        y = jnp.zeros((n,) + xm.shape[1:])
+        y = y.at[r].add(v[:, None] * xm[c])
+        y = y.at[c].add(v[:, None] * xm[r])
+        # diagonal: each shard owns a contiguous dchunk slice
+        i = jax.lax.axis_index("d")
+        base = i * dchunk
+        idx = base + jnp.arange(dchunk)
+        ok = idx < n
+        y = y.at[jnp.where(ok, idx, 0)].add(
+            jnp.where(ok, dg, 0.0)[:, None] * xm[jnp.where(ok, idx, 0)],
+            mode="drop")
+        y = jax.lax.psum(y, "d")
+        return y[:, 0] if single else y
+
+    fn = shard_map(_mv, mesh=mesh,
+                   in_specs=(P_, P_, P_, P_, repl), out_specs=repl)
+    fn = jax.jit(fn)
+    r_j = jnp.asarray(rows.astype(np.int32))
+    c_j = jnp.asarray(cols.astype(np.int32))
+    v_j = jnp.asarray(vals)
+    d_j = jnp.asarray(diag_p)
+
+    def matvec_fn(x):
+        return fn(r_j, c_j, v_j, d_j, jnp.asarray(x))
+
+    return matvec_fn
+
+
+# ---------------------------------------------------------------------------
 # Sharded walk assembly
 # ---------------------------------------------------------------------------
 
