@@ -84,6 +84,9 @@ class WalkConfig:
                (self.ndn * (self.ndn - 1)) // 2 + self.nup * self.ndn
 
 
+N_HIST_BINS = 40
+
+
 class WalkTables(NamedTuple):
     """Device-resident lookup tables (built once per run)."""
     # heat-bath rows (signed values, |H|-descending) + per-row |H| prefix
@@ -776,10 +779,24 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         w_abs_gen=w_abs_gen,
         overflow=state.overflow | overflow,
     )
+    # log2-binned |spawned weight| histogram (ref: gen_hist/add_to_hist,
+    # more_tools.f90:5449, filled at do_walk.f90:7603-7636); bin i covers
+    # [2^(i-20), 2^(i-19))
+    aw_sp = jnp.abs(spawn_wt)
+    hbin = jnp.clip(jnp.floor(jnp.log2(jnp.maximum(aw_sp, 1e-300))) + 20.0,
+                    0, N_HIST_BINS - 1).astype(jnp.int32)
+    hbin = jnp.where(spawn_ok & (aw_sp > 0), hbin, N_HIST_BINS)
+    spawn_hist = jnp.zeros(N_HIST_BINS, jnp.int32).at[hbin].add(
+        1, mode="drop")
+    if cfg.axis_name is not None:
+        spawn_hist = jax.lax.psum(spawn_hist, cfg.axis_name)
+
     stats = dict(e_num_gen=e_num_gen, e_den_gen=e_den_gen,
                  w_abs_gen=w_abs_gen, nwalk=nwalk_stat,
                  e_gen=e_num_gen / jnp.where(e_den_gen == 0, 1e-300, e_den_gen),
-                 n_spawn=total_spawn)
+                 n_spawn=total_spawn,
+                 reweight_factor_inv=state.reweight_factor_inv,
+                 spawn_hist=spawn_hist)
     return new_state, stats
 
 
@@ -828,16 +845,24 @@ class WalkResult:
     nwalk_trace: np.ndarray
     steps_per_sec: float
     state: WalkState
+    spawn_hist: np.ndarray | None = None   # log2 |spawn wt| bins (scan mode)
 
 
 def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
              nblk_eq: int, w_abs_begin: float, e_trial_initial: float,
              seed: int = 0, verbose: bool = True,
-             mode: str = "scan") -> WalkResult:
+             mode: str = "scan", walkalize_file: str | None = None,
+             max_eq_extensions: int = 3) -> WalkResult:
     """Block/step driver with equilibration (ref: do_walk.f90:2113).
 
     Energy estimate: ratio of block sums of e_num/e_den with blocking error
     (ref blocking analysis :2952).
+
+    walkalize_file: per-generation trace `step 1/reweight w_abs e_gen
+    nwalk` for external blocking tools (ref: do_walk.f90:1675,2930).
+    max_eq_extensions: auto-extend equilibration while the population is
+    still >10% from target or the energy still drifts by >3 block sigmas
+    (ref: equilibration auto-extension, do_walk.f90:2917+).
     """
     import time
 
@@ -848,9 +873,16 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
     w_trace, n_trace = [], []
     t_measured = 0.0
     n_measured = 0
+    spawn_hist = np.zeros(N_HIST_BINS, np.int64)
+    wf = open(walkalize_file, "w") if walkalize_file else None
+    gstep = 0
 
-    for iblk in range(nblk_eq + nblk):
-        equil = iblk < nblk_eq
+    eq_extensions = 0
+    eq_energies = []
+    iblk = 0
+    n_eq_planned = nblk_eq
+    while iblk < n_eq_planned + nblk:
+        equil = iblk < n_eq_planned
         if not equil:
             state = state._replace(equilibrated=jnp.asarray(True))
         t0 = time.time()
@@ -863,6 +895,17 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
             blk_den = float(jnp.sum(stats["e_den_gen"]))
             w_trace.extend(np.asarray(stats["w_abs_gen"]).tolist())
             n_trace.extend(np.asarray(stats["nwalk"]).tolist())
+            spawn_hist += np.asarray(jnp.sum(stats["spawn_hist"], axis=0),
+                                     np.int64)
+            if wf is not None:
+                rw = np.asarray(stats["reweight_factor_inv"])
+                wa = np.asarray(stats["w_abs_gen"])
+                eg = np.asarray(stats["e_gen"])
+                nw = np.asarray(stats["nwalk"])
+                for j in range(len(wa)):
+                    wf.write(f"{gstep + j + 1} {1.0 / rw[j]:.9f} "
+                             f"{wa[j]:.2f} {eg[j]:.9f} {nw[j]}\n")
+            gstep += nstep
         else:
             # async per-step dispatch; the block sums live in the state's
             # on-device accumulators, so the host fetches only a handful of
@@ -882,8 +925,11 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
         if bool(state.overflow):
             raise RuntimeError("walker/spawn capacity exceeded; increase "
                                "mwalk/cap_spawn")
+        e_blk = blk_num / blk_den if blk_den != 0 else np.nan
         if not equil:
-            e_blocks.append(blk_num / blk_den if blk_den != 0 else np.nan)
+            e_blocks.append(e_blk)
+        else:
+            eq_energies.append(e_blk)
         state = end_of_block(state)
         if verbose:
             print(f"block {iblk + 1}{' (eq)' if equil else ''}: "
@@ -893,6 +939,24 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
                   f"w_abs={float(state.w_abs_gen):.1f} nwalk={int(state.nwalk)} "
                   f"steps/s={nstep / dt:.1f}", flush=True)
 
+        # equilibration auto-extension (ref: do_walk.f90:2917+)
+        if (equil and iblk == n_eq_planned - 1 and
+                eq_extensions < max_eq_extensions and len(eq_energies) >= 2):
+            pop_off = abs(float(state.w_abs_gen) - cfg.w_abs_target) \
+                > 0.1 * cfg.w_abs_target
+            sig = np.nanstd(eq_energies) or np.inf
+            drift = abs(eq_energies[-1] - np.nanmean(eq_energies[:-1])) \
+                > 3.0 * sig
+            if pop_off or drift:
+                n_eq_planned += 1
+                eq_extensions += 1
+                if verbose:
+                    print(f"extending equilibration (pop_off={pop_off}, "
+                          f"drift={drift})", flush=True)
+        iblk += 1
+
+    if wf is not None:
+        wf.close()
     e_blocks = np.asarray(e_blocks)
     e_mean = float(np.mean(e_blocks))
     e_err = float(np.std(e_blocks, ddof=1) / np.sqrt(len(e_blocks))) \
@@ -901,4 +965,4 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
                       w_abs_trace=np.asarray(w_trace),
                       nwalk_trace=np.asarray(n_trace),
                       steps_per_sec=n_measured / t_measured if t_measured else 0.0,
-                      state=state)
+                      state=state, spawn_hist=spawn_hist)

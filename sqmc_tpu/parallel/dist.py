@@ -334,7 +334,8 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
         imp_up=sharded, imp_dn=sharded, imp_rows=sharded, imp_cols=sharded,
         imp_vals=sharded)
     stats_specs = dict(e_num_gen=repl, e_den_gen=repl, w_abs_gen=repl,
-                       nwalk=repl, e_gen=repl, n_spawn=repl)
+                       nwalk=repl, e_gen=repl, n_spawn=repl,
+                       reweight_factor_inv=repl, spawn_hist=repl)
     if nstep_per_call > 1:
         stats_specs["e_num_sum"] = repl
         stats_specs["e_den_sum"] = repl

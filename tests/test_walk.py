@@ -51,3 +51,24 @@ def test_walk_stochastic_unbiased(tiny):
     # statistical agreement: generous 6-sigma + floor to avoid flakiness
     tol = 6 * max(out.e_err, 5e-6) + 2e-5
     assert abs(out.e_mixed - res.energies[0]) < tol
+
+
+def test_walkalize_and_histogram(tiny, tmp_path):
+    """Aux parity: walkalize per-generation trace file (ref:
+    do_walk.f90:1675,2930) and the log2 spawned-weight histogram (ref:
+    gen_hist, more_tools.f90:5449)."""
+    sys_, res = tiny
+    trial = build_trial_wavefunction(sys_, eps_var=1e-3, n_psi_t=30, n_imp=1,
+                                     verbose=False)
+    cfg = WalkConfig(mwalk=4096, cap_spawn=16384, norb=sys_.norb, nup=2,
+                     ndn=2, n_words=1, tau=5e-3, w_abs_target=1000.0,
+                     has_singles=False)
+    wfile = str(tmp_path / "walkalize")
+    out = run_walk(sys_, trial, cfg, nstep=20, nblk=2, nblk_eq=1,
+                   w_abs_begin=500.0, e_trial_initial=res.energies[0],
+                   verbose=False, walkalize_file=wfile)
+    lines = open(wfile).read().splitlines()
+    assert len(lines) >= 40        # one line per generation (eq may extend)
+    step, inv_rw, w_abs, e_gen, nwalk = lines[5].split()
+    assert int(step) == 6 and float(w_abs) > 0 and int(nwalk) > 0
+    assert out.spawn_hist is not None and out.spawn_hist.sum() > 0
