@@ -38,12 +38,54 @@ class HCIResult:
     ham: SparseHam | None = None
 
 
+def _active_space_mask(cu, cd, active_space, nup, ndn, norb):
+    """Candidate filter for the variational active space: frozen core
+    always occupied, frozen virtuals never (ref: hci.f90:149-191 masks)."""
+    from .. import dets as dets_mod
+    n_var_e_up, n_var_e_dn, n_var_orbs = active_space
+    n_core_up = nup - n_var_e_up
+    n_core_dn = ndn - n_var_e_dn
+    core_up = dets_mod.det_from_orbs(range(n_core_up), norb)
+    core_dn = dets_mod.det_from_orbs(range(n_core_dn), norb)
+    virt_up = dets_mod.det_from_orbs(
+        range(min(n_core_up + n_var_orbs, norb), norb), norb)
+    virt_dn = dets_mod.det_from_orbs(
+        range(min(n_core_dn + n_var_orbs, norb), norb), norb)
+    ok = np.ones(len(cu), bool)
+    for w in range(cu.shape[1]):
+        ok &= (cu[:, w] & core_up[w]) == core_up[w]
+        ok &= (cd[:, w] & core_dn[w]) == core_dn[w]
+        ok &= (cu[:, w] & virt_up[w]) == 0
+        ok &= (cd[:, w] & virt_dn[w]) == 0
+    return ok
+
+
+def extrapolate_energy(e_var: np.ndarray, e_pt: np.ndarray):
+    """Linear extrapolation of E_tot = E_var + dE2 against dE2 -> 0 over
+    an eps_var series (ref: energies_for_extrapolation, hci.f90:1824).
+    Returns (e_extrapolated, slope)."""
+    e_var = np.asarray(e_var, np.float64)
+    e_pt = np.asarray(e_pt, np.float64)
+    e_tot = e_var + e_pt
+    A = np.stack([np.ones_like(e_pt), e_pt], axis=1)
+    coef, *_ = np.linalg.lstsq(A, e_tot, rcond=None)
+    return float(coef[0]), float(coef[1])
+
+
 def run_hci(system, eps_var: float, eps_var_sched=None, n_states: int = 1,
             max_iters: int = 50, verbose: bool = True,
             keep_ham: bool = False, dump_wf_var: bool = False,
-            wf_cache_dir: str | None = None, mesh=None) -> HCIResult:
+            wf_cache_dir: str | None = None, mesh=None,
+            active_space=None) -> HCIResult:
     """mesh: optional jax.sharding.Mesh - Davidson matvecs run sharded
-    over it (SURVEY P4, davidson_sparse_mpi2 analog)."""
+    over it (SURVEY P4, davidson_sparse_mpi2 analog).
+
+    active_space: optional (n_var_e_up, n_var_e_dn, n_var_orbs) - the
+    variational active space of the reference's &active_space namelist
+    (ref: hci.f90:149-191): the lowest nup-n_var_e_up (ndn-n_var_e_dn)
+    orbitals are frozen core, and orbitals above core+n_var_orbs are
+    frozen virtuals; generated candidates violating either mask are
+    discarded (ref: hci.f90:384-412)."""
     nup, ndn, norb = system.nup, system.ndn, system.norb
 
     # variational wavefunction cache (ref: hci.f90 wf_eps_var=<eps> files)
@@ -104,6 +146,9 @@ def run_hci(system, eps_var: float, eps_var_sched=None, n_states: int = 1,
             cu, cd, _, _ = setalg.unique_dets(cu, cd)
             new_mask = setalg.setdiff_dets(cu, cd, up, dn)
             cu, cd = cu[new_mask], cd[new_mask]
+        if len(cu) and active_space is not None:
+            keep = _active_space_mask(cu, cd, active_space, nup, ndn, norb)
+            cu, cd = cu[keep], cd[keep]
         n_new_dets = len(cu)
         n_total = n_old + n_new_dets
 

@@ -144,3 +144,79 @@ def generate_natorb_fcidump(system, up, dn, wts, path: str, nelec: int):
     write_fcidump(path, h2, eri2, system.table.core_energy,
                   np.asarray(system.table.orb_sym), nelec)
     return occs, U
+
+
+def first_order_pt_vector(system, up, dn, wts, var_energy: float,
+                          eps_pt_big: float):
+    """PT dets outside the variational space with first-order coefficients
+    c_a = sum_j H_aj c_j / (E_var - H_aa), |H_aj c_j| screened at
+    eps_pt_big (the deterministic part of the reference's semistochastic
+    split; ref: hci.f90 get_1rdm_with_pt:3400-3470)."""
+    from .connect import generate_connections
+    from .pt import _diag_elements_np
+    from ..ops import setalg
+
+    coeffs = np.where(np.abs(wts) == 0.0, 1e-300, np.abs(wts))
+    cu, cd, h, ref = generate_connections(system, up, dn,
+                                          eps_pt_big / coeffs)
+    contrib = h * wts[ref]
+    cu_u, cd_u, (num,), _ = setalg.unique_dets(cu, cd, [contrib])
+    ext = setalg.setdiff_dets(cu_u, cd_u, up, dn)
+    cu_e, cd_e, num_e = cu_u[ext], cd_u[ext], num[ext]
+    diag_e = _diag_elements_np(system.table, cu_e, cd_e, system.norb,
+                               time_sym=system.time_sym, z=system.z)
+    c1 = num_e / (var_energy - diag_e)
+    return cu_e, cd_e, c1
+
+
+def get_1rdm_with_pt(system, up, dn, wts, var_energy: float,
+                     eps_pt_big: float) -> np.ndarray:
+    """1-RDM to lowest nonzero order in PT:
+    <psi|rho|psi> ~ <psi0|rho|psi0> + 2 <psi0|rho|psi1>
+    (ref: get_1rdm_with_pt, hci.f90:3400)."""
+    from .sparseham import connected_pairs
+
+    gamma = get_1rdm(system, up, dn, wts)
+    pu, pd, c1 = first_order_pt_vector(system, up, dn, wts, var_energy,
+                                       eps_pt_big)
+    if len(pu) == 0:
+        return gamma
+    norb = system.norb
+    n0 = len(up)
+    # cross transition RDM: join var + pt lists, keep only cross pairs
+    all_up = np.concatenate([up, pu])
+    all_dn = np.concatenate([dn, pd])
+    all_c = np.concatenate([wts, c1])
+    a, b = connected_pairs(all_up, all_dn, system.nup, system.ndn, norb)
+    cross = ((a < n0) & (b >= n0)) | ((a >= n0) & (b < n0))
+    a, b = a[cross], b[cross]
+
+    bu = np.asarray(dets_mod.to_bits(jnp.asarray(all_up), norb))
+    bd = np.asarray(dets_mod.to_bits(jnp.asarray(all_dn), norb))
+    du = bu[a] ^ bu[b]
+    dd = bd[a] ^ bd[b]
+    n_up = du.sum(axis=1) // 2
+    n_dn = dd.sum(axis=1) // 2
+    sing_up = (n_up == 1) & (n_dn == 0)
+    sing_dn = (n_dn == 1) & (n_up == 0)
+    sel = sing_up | sing_dn
+    a, b = a[sel], b[sel]
+    du, dd = du[sel], dd[sel]
+    u_sel = sing_up[sel]
+    diff = np.where(u_sel[:, None], du, dd)
+    src_bits = np.where(u_sel[:, None], bu[a], bd[a])
+    pos = np.argsort(~(diff > 0), axis=1, kind="stable")[:, :2]
+    p1, p2 = pos[:, 0], pos[:, 1]
+    p_in_i = src_bits[np.arange(len(a)), p1] > 0
+    p = np.where(p_in_i, p1, p2)
+    q = np.where(p_in_i, p2, p1)
+    pref = np.cumsum(src_bits, axis=1) - src_bits
+    lo = np.minimum(p, q)
+    hi = np.maximum(p, q)
+    cnt = pref[np.arange(len(a)), hi] - pref[np.arange(len(a)), lo] \
+        - ((p >= lo) & (p < hi)).astype(np.int64)
+    sign = np.where(cnt % 2 == 0, 1.0, -1.0)
+    val = all_c[a] * all_c[b] * sign          # each cross pair once per
+    np.add.at(gamma, (p, q), val)             # orientation: the factor 2
+    np.add.at(gamma, (q, p), val)             # of 2<psi0|rho|psi1>
+    return gamma
