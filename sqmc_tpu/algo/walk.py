@@ -281,12 +281,15 @@ def init_walk_state(cfg: WalkConfig, trial, w_abs_begin: float,
 # Step kernel pieces
 # ---------------------------------------------------------------------------
 
-def _binary_search_cum(cum_gather, n, target):
+def _binary_search_cum(cum_gather, n, target, max_n: int = 1 << 31):
     """Smallest index i in [0,n) with cum[i] > target, via scalar-gather
     bisection.  cum_gather(i) -> cumulative value at index i (vectorized
-    over the batch)."""
+    over the batch).  max_n: STATIC bound on n - every bisection step is a
+    batched HBM gather, so the iteration count (ceil(log2(max_n))) is the
+    dominant cost of the sampler; pass the tightest static bound."""
     lo = jnp.zeros_like(n)
     hi = n
+    n_iter = max(int(np.ceil(np.log2(max(min(max_n, 1 << 31), 2)))) + 1, 1)
 
     def body(_, lohi):
         lo, hi = lohi
@@ -297,7 +300,7 @@ def _binary_search_cum(cum_gather, n, target):
         hi = jnp.where(go_right, hi, mid)
         return lo, hi
 
-    lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
+    lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
     return jnp.minimum(lo, jnp.maximum(n - 1, 0))
 
 
@@ -320,6 +323,7 @@ def _searchsorted_dets(list_up, list_dn, q_up, q_dn):
 
     lo = jnp.zeros(qu.shape, jnp.int32)
     hi = jnp.full(qu.shape, n, jnp.int32)
+    n_iter = max(int(np.ceil(np.log2(max(n, 2)))) + 1, 1)
 
     def body(_, lohi):
         lo, hi = lohi
@@ -331,15 +335,21 @@ def _searchsorted_dets(list_up, list_dn, q_up, q_dn):
         hi = jnp.where(go_right, hi, mid)
         return lo, hi
 
-    lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
+    lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
     idx = jnp.clip(lo, 0, n - 1)
     found = (lu[idx] == qu) & (ld[idx] == qd)
     return jnp.where(found, idx, -1)
 
 
-def _lexsort_walkers(up, dn):
-    """Sort order by (up, dn) keys, most significant first."""
+def _lexsort_walkers(up, dn, norb: int | None = None):
+    """Sort order by (up, dn) keys, most significant first.  When both
+    halves fit one word (norb <= 32) the key fuses into a single uint64 -
+    one sort pass instead of 2W stable passes."""
     W = up.shape[1]
+    if W == 1 and norb is not None and norb <= 32:
+        key = (up[:, 0] << jnp.uint64(32)) | dn[:, 0]
+        # sentinel rows (all ones) still sort last: up=~0 dominates
+        return jnp.argsort(key)
     keys = []
     for w in range(W):
         keys.append(dn[:, w])
@@ -471,7 +481,8 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     # ---- doubles path ----
     targ = up_ * W2tot[b]
     pair_i = _binary_search_cum(lambda m: pair_cum[b, jnp.clip(m, 0, npairs - 1)],
-                                jnp.full(CAP, npairs, jnp.int32), targ)
+                                jnp.full(CAP, npairs, jnp.int32), targ,
+                                max_n=npairs)
     pp = p_pair[b, pair_i]
     qq = q_pair[b, pair_i]
     kk = kind_pair[b, pair_i]
@@ -489,7 +500,8 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         return jnp.where(opp, tables.opp_cum[jnp.clip(i, 0, n_oppf - 1)],
                          tables.same_cum[jnp.clip(i, 0, n_same - 1)])
 
-    rank = _binary_search_cum(cum_entry, ct, targ_e)
+    rank = _binary_search_cum(cum_entry, ct, targ_e,
+                              max_n=cfg.norb * cfg.norb)
     idx = st + rank
     rs = jnp.where(opp, tables.opp_rs[jnp.clip(idx, 0, n_oppf - 1)],
                    tables.same_rs[jnp.clip(idx, 0, n_same - 1)])
@@ -555,12 +567,14 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         occ_all = jnp.concatenate([occ_up, occ_dn], axis=1)   # [M, nelec]
         targ_s = up_ * Utot[b]
         e_i = _binary_search_cum(lambda m: sing_cum[b, jnp.clip(m, 0, nelec - 1)],
-                                 jnp.full(CAP, nelec, jnp.int32), targ_s)
+                                 jnp.full(CAP, nelec, jnp.int32), targ_s,
+                                 max_n=nelec)
         p_s = occ_all[b, e_i]
         e_up = e_i < nup
         targ_r = ue * tables.u_rowsum[p_s]
         r_s = _binary_search_cum(lambda m: tables.u_cum[p_s, jnp.clip(m, 0, norb - 1)],
-                                 jnp.full(CAP, norb, jnp.int32), targ_r)
+                                 jnp.full(CAP, norb, jnp.int32), targ_r,
+                                 max_n=norb)
         r_s = r_s.astype(jnp.int32)
         r_s_occ = jnp.where(e_up, bits_up[b, r_s] != 0, bits_dn[b, r_s] != 0)
         # exact single element
@@ -638,7 +652,7 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     all_diag = jnp.concatenate([diag, jnp.full(CAP, 1e51)])
     is_entry = jnp.concatenate([alive, spawn_ok])
 
-    order = _lexsort_walkers(all_up, all_dn)
+    order = _lexsort_walkers(all_up, all_dn, cfg.norb)
     s_up = all_up[order]
     s_dn = all_dn[order]
     s_wt = all_wt[order]
