@@ -68,6 +68,11 @@ class WalkConfig:
     reweight_factor_inv_max: float = 2.0
     semistochastic: bool = True
     has_singles: bool = True
+    # spawning granularity: children are drawn per g units of |weight|
+    # instead of per unit (g=1 reproduces the reference's one-child-per-
+    # unit-weight resolution; larger g trades statistical efficiency for
+    # g-fold fewer spawn slots per step - a variance/throughput dial)
+    spawn_granularity: float = 1.0
     # determinant sharding over a mesh axis (SURVEY P1/P2): when axis_name
     # is set, mwalk/cap_spawn are PER-SHARD capacities, spawns are routed
     # to their owner shard by all_to_all, and control scalars are psummed
@@ -93,13 +98,15 @@ class WalkTables(NamedTuple):
     # sums for in-row sampling, + row sums
     same_rs: jnp.ndarray
     same_val: jnp.ndarray
-    same_cum: jnp.ndarray        # inclusive cumsum of |val| within row
+    same_aliasJ: jnp.ndarray     # row-local alias index (in-row sampling
+    same_aliasq: jnp.ndarray     # ~ |val| in O(1); ref setup_alias)
     same_start: jnp.ndarray
     same_count: jnp.ndarray
     same_rowsum: jnp.ndarray
     opp_rs: jnp.ndarray
     opp_val: jnp.ndarray
-    opp_cum: jnp.ndarray
+    opp_aliasJ: jnp.ndarray
+    opp_aliasq: jnp.ndarray
     opp_start: jnp.ndarray
     opp_count: jnp.ndarray
     opp_rowsum: jnp.ndarray
@@ -189,6 +196,30 @@ def build_walk_tables(system, trial) -> WalkTables:
     nz = cnt_o > 0
     o_rowsum[nz] = o_cum[(st_o + cnt_o - 1)[nz]]
 
+    def row_alias(val, start, count):
+        """Per-row alias tables over |val| in the flat ragged array: the
+        in-row target draw becomes O(1) - 2 gathers instead of a
+        log(row)-deep bisection of HBM gathers (ref: setup_alias,
+        more_tools.f90:5603)."""
+        from ..ops.alias import setup_alias_np
+        v = np.abs(np.asarray(val))
+        J = np.zeros(len(v), np.int32)
+        q = np.ones(len(v))
+        for s, c in zip(np.asarray(start), np.asarray(count)):
+            if c <= 0:
+                continue
+            row = v[s:s + c]
+            tot = row.sum()
+            if tot <= 0:
+                continue
+            Jr, qr = setup_alias_np(row / tot)
+            J[s:s + c] = Jr
+            q[s:s + c] = qr
+        return J, q
+
+    s_J, s_q = row_alias(hb.same_val, hb.same_start, hb.same_count)
+    o_J, o_q = row_alias(hb.opp_val, hb.opp_start, hb.opp_count)
+
     # singles bound U[p,r] = |h_pr| + sum_q (|(pr|qq)| + |(pq|qr)|),
     # zeroed when symmetry-forbidden or p==r
     if system.has_singles:
@@ -212,10 +243,12 @@ def build_walk_tables(system, trial) -> WalkTables:
     v_all = np.concatenate([H.vals, H.vals, H.diag])
 
     return WalkTables(
-        same_rs=hb.same_rs, same_val=hb.same_val, same_cum=jnp.asarray(s_cum),
+        same_rs=hb.same_rs, same_val=hb.same_val,
+        same_aliasJ=jnp.asarray(s_J), same_aliasq=jnp.asarray(s_q),
         same_start=hb.same_start, same_count=hb.same_count,
         same_rowsum=jnp.asarray(s_rowsum),
-        opp_rs=hb.opp_rs, opp_val=hb.opp_val, opp_cum=jnp.asarray(o_cum),
+        opp_rs=hb.opp_rs, opp_val=hb.opp_val,
+        opp_aliasJ=jnp.asarray(o_J), opp_aliasq=jnp.asarray(o_q),
         opp_start=hb.opp_start, opp_count=hb.opp_count,
         opp_rowsum=jnp.asarray(o_rowsum),
         u_table=jnp.asarray(U), u_cum=jnp.asarray(u_cum),
@@ -304,16 +337,23 @@ def _binary_search_cum(cum_gather, n, target, max_n: int = 1 << 31):
     return jnp.minimum(lo, jnp.maximum(n - 1, 0))
 
 
-def _searchsorted_dets(list_up, list_dn, q_up, q_dn):
+def _searchsorted_dets(list_up, list_dn, q_up, q_dn, norb: int | None = None):
     """Index of each query det in a sorted packed det list, -1 if absent.
     Works on the most-significant-word-first fused ordering used by
-    setalg.sort (W=1 fast path: two uint64 keys)."""
+    setalg.sort (W=1 fast path: two uint64 keys).  With norb <= 32 the
+    two halves fuse into ONE uint64 key and the lookup is a single
+    jnp.searchsorted (the cheapest lowering)."""
     # build comparable u64 pairs; for W=1 compare (up, dn) lexicographically
     lu = list_up[:, -1]  # most significant word (W=1: the only word)
     ld = list_dn[:, -1]
     qu = q_up[:, -1]
     qd = q_dn[:, -1]
     n = lu.shape[0]
+    if norb is not None and norb <= 32 and list_up.shape[1] == 1:
+        lk = (lu << jnp.uint64(32)) | (ld & jnp.uint64(0xFFFFFFFF))
+        qk = (qu << jnp.uint64(32)) | (qd & jnp.uint64(0xFFFFFFFF))
+        idx = jnp.clip(jnp.searchsorted(lk, qk), 0, n - 1).astype(jnp.int32)
+        return jnp.where(lk[idx] == qk, idx, -1)
 
     def cum(i):
         i_c = jnp.clip(i, 0, n - 1)
@@ -448,22 +488,30 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
 
     # ---------------- spawn slot allocation -------------------------------
     u_spawn = jax.random.uniform(keys[1], (M,))
-    small = absw < cfg.always_spawn_cutoff
-    do_spawn_small = u_spawn < absw / cfg.always_spawn_cutoff
+    g = cfg.spawn_granularity
+    small = absw < cfg.always_spawn_cutoff * g
+    do_spawn_small = u_spawn < absw / (cfg.always_spawn_cutoff * g)
     nchild = jnp.where(small, jnp.where(do_spawn_small, 1, 0),
-                       jnp.maximum(jnp.round(absw), 1.0)).astype(jnp.int64)
+                       jnp.maximum(jnp.round(absw / g), 1.0)).astype(jnp.int64)
     nchild = jnp.where(alive & (W2tot + Utot > 0), nchild, 0)
     wt_child = jnp.where(small,
-                         jnp.sign(wt) * cfg.always_spawn_cutoff,
+                         jnp.sign(wt) * cfg.always_spawn_cutoff * g,
                          wt / jnp.maximum(nchild, 1))
 
     cum_child = prefix.cumsum_i32(nchild.astype(jnp.int32)).astype(jnp.int64)
     total_spawn = cum_child[-1]
     off_child = cum_child - nchild
 
+    # slot -> parent walker: scatter each walker's index at its first slot
+    # and forward-fill with a running max (walkers are ascending, and among
+    # walkers sharing an offset only the last has children) - O(CAP)
+    # instead of a log(M)-deep batched searchsorted
     t = jnp.arange(CAP, dtype=jnp.int64)
-    parent = jnp.searchsorted(cum_child, t, side="right").astype(jnp.int32)
-    parent = jnp.minimum(parent, M - 1)
+    seed_par = jnp.full(CAP, -1, jnp.int32).at[
+        jnp.clip(off_child, 0, CAP - 1)].max(
+        jnp.arange(M, dtype=jnp.int32), mode="drop")
+    parent = jax.lax.associative_scan(jnp.maximum, seed_par)
+    parent = jnp.clip(parent, 0, M - 1)
     slot_valid = t < total_spawn
     overflow = total_spawn > CAP
 
@@ -491,17 +539,21 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     ct = pr_count[b, pair_i]
     rsum = pr_rowsum[b, pair_i]
 
-    targ_e = ue * rsum
-    n_same = tables.same_cum.shape[0]
-    n_oppf = tables.opp_cum.shape[0]
-
-    def cum_entry(m):
-        i = st + jnp.clip(m, 0, jnp.maximum(ct - 1, 0))
-        return jnp.where(opp, tables.opp_cum[jnp.clip(i, 0, n_oppf - 1)],
-                         tables.same_cum[jnp.clip(i, 0, n_same - 1)])
-
-    rank = _binary_search_cum(cum_entry, ct, targ_e,
-                              max_n=cfg.norb * cfg.norb)
+    # O(1) in-row target draw ~ |H| via per-row alias tables (ref:
+    # setup_alias/sample_alias, more_tools.f90:5603,5665): uniform slot,
+    # then accept-or-alias - 2 gathers instead of a log(row)-deep
+    # bisection of batched HBM gathers
+    n_same = tables.same_aliasq.shape[0]
+    n_oppf = tables.opp_aliasq.shape[0]
+    ua2 = jax.random.uniform(keys[6], (CAP,))
+    slot = jnp.minimum((ue * ct).astype(jnp.int32),
+                       jnp.maximum(ct - 1, 0))
+    i0 = st + slot
+    q_al = jnp.where(opp, tables.opp_aliasq[jnp.clip(i0, 0, n_oppf - 1)],
+                     tables.same_aliasq[jnp.clip(i0, 0, n_same - 1)])
+    J_al = jnp.where(opp, tables.opp_aliasJ[jnp.clip(i0, 0, n_oppf - 1)],
+                     tables.same_aliasJ[jnp.clip(i0, 0, n_same - 1)])
+    rank = jnp.where(ua2 < q_al, slot, J_al)
     idx = st + rank
     rs = jnp.where(opp, tables.opp_rs[jnp.clip(idx, 0, n_oppf - 1)],
                    tables.same_rs[jnp.clip(idx, 0, n_same - 1)])
@@ -652,14 +704,24 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     all_diag = jnp.concatenate([diag, jnp.full(CAP, 1e51)])
     is_entry = jnp.concatenate([alive, spawn_ok])
 
-    order = _lexsort_walkers(all_up, all_dn, cfg.norb)
-    s_up = all_up[order]
-    s_dn = all_dn[order]
-    s_wt = all_wt[order]
-    s_init = all_init[order]
-    s_imp = all_imp[order]
-    s_diag = all_diag[order]
-    s_is = is_entry[order]
+    if cfg.n_words == 1 and cfg.norb <= 32:
+        # one variadic key-value sort: key + every payload move together,
+        # no permutation gathers (cheapest TPU lowering)
+        fused = (all_up[:, 0] << jnp.uint64(32)) | all_dn[:, 0]
+        (_, u0, d0, s_wt, s_init, s_imp, s_diag, s_is) = jax.lax.sort(
+            (fused, all_up[:, 0], all_dn[:, 0], all_wt, all_init, all_imp,
+             all_diag, is_entry), num_keys=1)
+        s_up = u0[:, None]
+        s_dn = d0[:, None]
+    else:
+        order = _lexsort_walkers(all_up, all_dn, cfg.norb)
+        s_up = all_up[order]
+        s_dn = all_dn[order]
+        s_wt = all_wt[order]
+        s_init = all_init[order]
+        s_imp = all_imp[order]
+        s_diag = all_diag[order]
+        s_is = is_entry[order]
 
     N = M + CAP
     neq = jnp.ones(N, bool)
@@ -671,7 +733,8 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     # D-space membership of each entry's det (for the -1 discard rule and
     # imp codes); C(T) membership for imp=-2
     if cfg.semistochastic and n_imp > 0:
-        in_D = _searchsorted_dets(tables.imp_up, tables.imp_dn, s_up, s_dn) >= 0
+        in_D = _searchsorted_dets(tables.imp_up, tables.imp_dn, s_up, s_dn,
+                                  cfg.norb) >= 0
     else:
         in_D = jnp.zeros(N, bool)
 
@@ -736,7 +799,8 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     out_wt = out_wt * state.reweight_factor_inv
 
     # ---------------- estimators -------------------------------------------
-    ct_idx = _searchsorted_dets(tables.ct_up, tables.ct_dn, out_up, out_dn)
+    ct_idx = _searchsorted_dets(tables.ct_up, tables.ct_dn, out_up, out_dn,
+                                cfg.norb)
     n_ct = tables.ct_num.shape[0]
     safe_ct = jnp.clip(ct_idx, 0, n_ct - 1)
     match = ct_idx >= 0

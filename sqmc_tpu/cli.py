@@ -184,9 +184,48 @@ def run_from_config(cfg, fcidump: str | None = None, verbose: bool = True):
     res = run_hci(system, eps_var=cfg.eps_var,
                   eps_var_sched=cfg.eps_var_sched, n_states=cfg.n_states,
                   verbose=verbose, dump_wf_var=cfg.dump_wf_var,
-                  wf_cache_dir=".")
+                  wf_cache_dir=".", active_space=cfg.active_space)
     my_second("END", "variational part")
     print(f"Variational energy={res.energies[0]:26.9f}")
+
+    if cfg.get_natorbs:
+        # natural-orbital FCIDUMP restart (ref: hci.f90:683-745,
+        # generate_natorb_integrals:3554)
+        from .algo.rdm import (generate_natorb_fcidump, get_1rdm,
+                               get_1rdm_with_pt)
+        my_second("BEG", "natorb")
+        if cfg.natorb_use_pt:
+            gamma = get_1rdm_with_pt(
+                system, res.up, res.dn, res.wts[:, 0],
+                float(res.energies[0]),
+                eps_pt_big=cfg.eps_pt_big if cfg.eps_pt_big > 0
+                else cfg.eps_var)
+            from .algo.rdm import natural_orbitals, rotate_integrals, \
+                write_fcidump
+            import numpy as _np
+            sym = _np.asarray(system.table.orb_sym)
+            occ, U = natural_orbitals(gamma, sym)
+            h2, eri2 = rotate_integrals(system.table, U)
+            write_fcidump("FCIDUMP.natorb", h2, eri2,
+                          system.table.core_energy, sym,
+                          nelec=system.nup + system.ndn)
+        else:
+            generate_natorb_fcidump(system, res.up, res.dn, res.wts[:, 0],
+                                    "FCIDUMP.natorb",
+                                    nelec=system.nup + system.ndn)
+        print("Wrote FCIDUMP.natorb")
+        my_second("END", "natorb")
+
+    if cfg.get_greens_function:
+        from .algo.greens import greens_function_g0
+        my_second("BEG", "greens_function")
+        w_grid = np.linspace(cfg.w_min, cfg.w_max, cfg.n_w)
+        g_np1, g_nm1 = greens_function_g0(system, res.up, res.dn,
+                                          res.wts[:, 0],
+                                          float(res.energies[0]), w_grid)
+        for i, w in enumerate(w_grid):
+            print(f"G0(w={w:10.5f}): trace={np.trace(g_np1[i]).real + np.trace(g_nm1[i]).real:14.8f}")
+        my_second("END", "greens_function")
 
     outs = []
     for state in range(cfg.n_states):

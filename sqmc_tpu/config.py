@@ -100,6 +100,14 @@ class SqmcInput:
     u_hub: float = 4.0
     pbc: bool = True
     neel_up_only: bool = False
+    # namelist-driven observables (&natorb, &greens_function, &active_space)
+    get_natorbs: bool = False
+    natorb_use_pt: bool = False
+    get_greens_function: bool = False
+    n_w: int = 20
+    w_min: float = -1.0
+    w_max: float = 1.0
+    active_space: tuple | None = None
 
 
 def _parse_bool(tok: str) -> bool:
@@ -365,6 +373,21 @@ def parse_input(text: str) -> SqmcInput:
     hf = nl.get("hf_det", {})
     if "hf_symmetry" in hf:
         cfg.hf_symmetry = int(hf["hf_symmetry"])
+    # &natorb (ref: common_selected_ci.f90:51-54)
+    nat = nl.get("natorb", {})
+    cfg.get_natorbs = bool(nat.get("get_natorbs", False))
+    cfg.natorb_use_pt = bool(nat.get("use_pt", False))
+    # &greens_function (ref: common_selected_ci.f90:56-61)
+    gf = nl.get("greens_function", {})
+    cfg.get_greens_function = bool(gf.get("get_greens_function", False))
+    cfg.n_w = int(gf.get("n_w", 20))
+    cfg.w_min = float(gf.get("w_min", -1.0))
+    cfg.w_max = float(gf.get("w_max", 1.0))
+    # &active_space (ref: common_selected_ci.f90:63-67)
+    ac = nl.get("active_space", {})
+    if int(ac.get("n_var_orbs", 0)) > 0:
+        cfg.active_space = (int(ac["n_var_e_up"]), int(ac["n_var_e_dn"]),
+                            int(ac["n_var_orbs"]))
 
     if cfg.eps_var_sched is None:
         cfg.eps_var_sched = [cfg.eps_var] * 10

@@ -93,3 +93,17 @@ def test_walk_card_layout_parsing(tmp_path):
     assert cfg.ndet_toy == 20 and cfg.bosonic == 1
     assert cfg.ndet_psi_t == 2 and cfg.iwdet_psi_t == [1, 2]
     assert cfg.diagonalize_ham == 1
+
+
+def test_namelist_observables_parsing():
+    from sqmc_tpu.config import parse_input
+    text = FICTITIOUS_INPUT + """
+&natorb get_natorbs=.true. use_pt=.false. /
+&greens_function get_greens_function=.true. n_w=5 w_min=-2. w_max=2. /
+&active_space n_var_e_up=2 n_var_e_dn=2 n_var_orbs=10 /
+"""
+    cfg = parse_input(text)
+    assert cfg.get_natorbs and not cfg.natorb_use_pt
+    assert cfg.get_greens_function and cfg.n_w == 5
+    assert cfg.w_min == -2.0 and cfg.w_max == 2.0
+    assert cfg.active_space == (2, 2, 10)
