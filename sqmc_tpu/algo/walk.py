@@ -73,6 +73,13 @@ class WalkConfig:
     # unit-weight resolution; larger g trades statistical efficiency for
     # g-fold fewer spawn slots per step - a variance/throughput dial)
     spawn_granularity: float = 1.0
+    # double-excitation proposal distribution (ref proposal_method card,
+    # do_walk.f90:289): 'fast_heatbath' (exact joint-|H|, constant spawn
+    # magnitude; ref off_diagonal_move_chem_efficient_heatbath:5086),
+    # 'uniform' (orbitals uniform; ref off_diagonal_move_chem:4237),
+    # 'cauchy_schwarz' (separable sqrt((pr|pr)(qs|qs)) bound; ref
+    # off_diagonal_move_chem_cauchySchwarz:2530)
+    proposal: str = "fast_heatbath"
     # determinant sharding over a mesh axis (SURVEY P1/P2): when axis_name
     # is set, mwalk/cap_spawn are PER-SHARD capacities, spawns are routed
     # to their owner shard by all_to_all, and control scalars are psummed
@@ -115,6 +122,12 @@ class WalkTables(NamedTuple):
     u_table: jnp.ndarray         # [norb, norb]
     u_cum: jnp.ndarray           # [norb, norb] inclusive row cumsum
     u_rowsum: jnp.ndarray        # [norb]
+    # Cauchy-Schwarz separable bound c[p,r] = sqrt|(pr|pr)| with per-row
+    # alias tables (proposal='cauchy_schwarz')
+    cs_c: jnp.ndarray            # [norb, norb]
+    cs_rowsum: jnp.ndarray       # [norb]
+    cs_aliasJ: jnp.ndarray       # [norb, norb]
+    cs_aliasq: jnp.ndarray       # [norb, norb]
     # integrals (for exact single elements)
     table: object                # IntegralTable (registered pytree)
     # C(T) mixed-estimator cache (sorted)
@@ -220,6 +233,22 @@ def build_walk_tables(system, trial) -> WalkTables:
     s_J, s_q = row_alias(hb.same_val, hb.same_start, hb.same_count)
     o_J, o_q = row_alias(hb.opp_val, hb.opp_start, hb.opp_count)
 
+    # Cauchy-Schwarz separable bound tables (proposal='cauchy_schwarz';
+    # ref off_diagonal_move_chem_cauchySchwarz:2530): c[p,r]=sqrt|(pr|pr)|
+    from ..ops.alias import setup_alias_np
+    pr = np.arange(norb)
+    PP, RR = np.meshgrid(pr, pr, indexing="ij")
+    cs_c = np.sqrt(np.abs(np.asarray(
+        table.eri_value_np(PP.ravel(), RR.ravel(), PP.ravel(),
+                           RR.ravel())))).reshape(norb, norb)
+    np.fill_diagonal(cs_c, 0.0)
+    cs_rowsum = cs_c.sum(axis=1)
+    cs_J2 = np.zeros((norb, norb), np.int32)
+    cs_q2 = np.ones((norb, norb))
+    for p_ in range(norb):
+        if cs_rowsum[p_] > 0:
+            cs_J2[p_], cs_q2[p_] = setup_alias_np(cs_c[p_] / cs_rowsum[p_])
+
     # singles bound U[p,r] = |h_pr| + sum_q (|(pr|qq)| + |(pq|qr)|),
     # zeroed when symmetry-forbidden or p==r
     if system.has_singles:
@@ -253,6 +282,8 @@ def build_walk_tables(system, trial) -> WalkTables:
         opp_rowsum=jnp.asarray(o_rowsum),
         u_table=jnp.asarray(U), u_cum=jnp.asarray(u_cum),
         u_rowsum=jnp.asarray(u_rowsum),
+        cs_c=jnp.asarray(cs_c), cs_rowsum=jnp.asarray(cs_rowsum),
+        cs_aliasJ=jnp.asarray(cs_J2), cs_aliasq=jnp.asarray(cs_q2),
         table=table,
         ct_up=jnp.asarray(trial.ct_up), ct_dn=jnp.asarray(trial.ct_dn),
         ct_num=jnp.asarray(trial.ct_num), ct_den=jnp.asarray(trial.ct_den),
@@ -473,7 +504,13 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
                          tables.same_count[row_same])
     pr_rowsum = jnp.where(is_opp, tables.opp_rowsum[row_opp],
                           tables.same_rowsum[row_same])
-    pair_cum = jnp.cumsum(pr_rowsum, axis=1)                 # [M, npairs]
+    if cfg.proposal == "uniform":
+        pr_weight = jnp.where(pr_rowsum > 0, 1.0, 0.0)
+    elif cfg.proposal == "cauchy_schwarz":
+        pr_weight = tables.cs_rowsum[p_pair] * tables.cs_rowsum[q_pair]
+    else:
+        pr_weight = pr_rowsum
+    pair_cum = jnp.cumsum(pr_weight, axis=1)                 # [M, npairs]
     W2tot = pair_cum[:, -1]
 
     if cfg.has_singles:
@@ -539,31 +576,64 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     ct = pr_count[b, pair_i]
     rsum = pr_rowsum[b, pair_i]
 
-    # O(1) in-row target draw ~ |H| via per-row alias tables (ref:
-    # setup_alias/sample_alias, more_tools.f90:5603,5665): uniform slot,
-    # then accept-or-alias - 2 gathers instead of a log(row)-deep
-    # bisection of batched HBM gathers
-    n_same = tables.same_aliasq.shape[0]
-    n_oppf = tables.opp_aliasq.shape[0]
     ua2 = jax.random.uniform(keys[6], (CAP,))
-    slot = jnp.minimum((ue * ct).astype(jnp.int32),
-                       jnp.maximum(ct - 1, 0))
-    i0 = st + slot
-    q_al = jnp.where(opp, tables.opp_aliasq[jnp.clip(i0, 0, n_oppf - 1)],
-                     tables.same_aliasq[jnp.clip(i0, 0, n_same - 1)])
-    J_al = jnp.where(opp, tables.opp_aliasJ[jnp.clip(i0, 0, n_oppf - 1)],
-                     tables.same_aliasJ[jnp.clip(i0, 0, n_same - 1)])
-    rank = jnp.where(ua2 < q_al, slot, J_al)
-    idx = st + rank
-    rs = jnp.where(opp, tables.opp_rs[jnp.clip(idx, 0, n_oppf - 1)],
-                   tables.same_rs[jnp.clip(idx, 0, n_same - 1)])
-    val_tab = jnp.where(opp, tables.opp_val[jnp.clip(idx, 0, n_oppf - 1)],
-                        tables.same_val[jnp.clip(idx, 0, n_same - 1)])
-    r_tab = (rs // norb).astype(jnp.int32)
-    s_tab = (rs % norb).astype(jnp.int32)
-    sw = opp & (pp > qq)
-    r = jnp.where(sw, s_tab, r_tab)
-    s = jnp.where(sw, r_tab, s_tab)
+    extra_fail = jnp.zeros(CAP, bool)
+    p_rs = jnp.ones(CAP)          # in-row proposal probability (non-hb)
+    val_tab = jnp.zeros(CAP)
+    if cfg.proposal == "fast_heatbath":
+        # O(1) in-row target draw ~ |H| via per-row alias tables (ref:
+        # setup_alias/sample_alias, more_tools.f90:5603,5665): uniform
+        # slot, then accept-or-alias - 2 gathers instead of a
+        # log(row)-deep bisection of batched HBM gathers
+        n_same = tables.same_aliasq.shape[0]
+        n_oppf = tables.opp_aliasq.shape[0]
+        slot = jnp.minimum((ue * ct).astype(jnp.int32),
+                           jnp.maximum(ct - 1, 0))
+        i0 = st + slot
+        q_al = jnp.where(opp, tables.opp_aliasq[jnp.clip(i0, 0, n_oppf - 1)],
+                         tables.same_aliasq[jnp.clip(i0, 0, n_same - 1)])
+        J_al = jnp.where(opp, tables.opp_aliasJ[jnp.clip(i0, 0, n_oppf - 1)],
+                         tables.same_aliasJ[jnp.clip(i0, 0, n_same - 1)])
+        rank = jnp.where(ua2 < q_al, slot, J_al)
+        idx = st + rank
+        rs = jnp.where(opp, tables.opp_rs[jnp.clip(idx, 0, n_oppf - 1)],
+                       tables.same_rs[jnp.clip(idx, 0, n_same - 1)])
+        val_tab = jnp.where(opp,
+                            tables.opp_val[jnp.clip(idx, 0, n_oppf - 1)],
+                            tables.same_val[jnp.clip(idx, 0, n_same - 1)])
+        r_tab = (rs // norb).astype(jnp.int32)
+        s_tab = (rs % norb).astype(jnp.int32)
+        sw = opp & (pp > qq)
+        r = jnp.where(sw, s_tab, r_tab)
+        s = jnp.where(sw, r_tab, s_tab)
+    else:
+        if cfg.proposal == "uniform":
+            # r, s uniform over orbitals (ref off_diagonal_move_chem:4237)
+            r = jnp.minimum((ue * norb).astype(jnp.int32), norb - 1)
+            s = jnp.minimum((ua2 * norb).astype(jnp.int32), norb - 1)
+            p_rs = jnp.where(opp, 1.0 / norb ** 2, 2.0 / norb ** 2)
+            extra_fail = (~opp) & (r == s)
+        else:  # cauchy_schwarz: r ~ c_p, s ~ c_q, c_p(r)=sqrt|(pr|pr)|
+            kr1, kr2 = jax.random.split(keys[7])
+            u3 = jax.random.uniform(kr1, (CAP,))
+            u4 = jax.random.uniform(kr2, (CAP,))
+            slot_r = jnp.minimum((ue * norb).astype(jnp.int32), norb - 1)
+            r = jnp.where(u3 < tables.cs_aliasq[pp, slot_r], slot_r,
+                          tables.cs_aliasJ[pp, slot_r])
+            slot_s = jnp.minimum((ua2 * norb).astype(jnp.int32), norb - 1)
+            s = jnp.where(u4 < tables.cs_aliasq[qq, slot_s], slot_s,
+                          tables.cs_aliasJ[qq, slot_s])
+            cp = jnp.maximum(tables.cs_rowsum[pp], 1e-300)
+            cq = jnp.maximum(tables.cs_rowsum[qq], 1e-300)
+            p_dir = tables.cs_c[pp, r] * tables.cs_c[qq, s] / (cp * cq)
+            p_swp = tables.cs_c[pp, s] * tables.cs_c[qq, r] / (cp * cq)
+            p_rs = jnp.where(opp, p_dir, p_dir + p_swp)
+            extra_fail = ((~opp) & (r == s)) | (p_rs <= 0)
+        # same-spin pairs are unordered: canonicalize r<s (both orderings
+        # produce the same determinant; p_rs above sums both)
+        r2 = jnp.where(opp, r, jnp.minimum(r, s))
+        s2 = jnp.where(opp, s, jnp.maximum(r, s))
+        r, s = r2, s2
 
     up_w = state.up[b]
     dn_w = state.dn[b]
@@ -599,10 +669,27 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     cu_ = wc(pref_up, pp, r) - in_window(pp, pp, r)
     cd_ = wc(pref_dn, qq, s) - in_window(qq, qq, s)
     gamma_opp = jnp.where((cu_ + cd_) % 2 == 0, 1.0, -1.0)
-    h_signed_dbl = jnp.where(opp, gamma_opp, gamma_same) * val_tab
+    if cfg.proposal != "fast_heatbath":
+        # exact element from integrals: same-spin (pr|qs)-(ps|qr),
+        # opposite-spin (pr|qs)
+        tb = tables.table
+        e_dir = tb.eri_value(pp, r, qq, s)
+        e_exc = tb.eri_value(pp, s, qq, r)
+        val_tab = jnp.where(opp, e_dir, e_dir - e_exc)
+    gamma_fac = jnp.where(opp, gamma_opp, gamma_same)
+    h_signed_dbl = gamma_fac * val_tab
 
-    # weight: -tau H / p with p = (1-p_single) |H| / W2tot
-    w_dbl = -tau * jnp.sign(h_signed_dbl) * W2tot[b] / jnp.maximum(1.0 - p_single[b], 1e-300)
+    if cfg.proposal == "fast_heatbath":
+        # p(pair, r, s) = (1-p_single) * |H| / W2tot exactly, so every
+        # accepted double has constant magnitude
+        w_dbl = -tau * jnp.sign(h_signed_dbl) * W2tot[b] / \
+            jnp.maximum(1.0 - p_single[b], 1e-300)
+    else:
+        prw_sel = pr_weight[b, pair_i]
+        p_sel = prw_sel / jnp.maximum(W2tot[b], 1e-300) * p_rs * \
+            jnp.maximum(1.0 - p_single[b], 1e-300)
+        w_dbl = jnp.where(extra_fail | (p_sel <= 0), 0.0,
+                          -tau * h_signed_dbl / jnp.maximum(p_sel, 1e-300))
 
     dbl_up = jnp.where(opp[:, None],
                        dets.set_orb(dets.clear_orb(up_w, pp), r),
@@ -930,7 +1017,9 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
              nblk_eq: int, w_abs_begin: float, e_trial_initial: float,
              seed: int = 0, verbose: bool = True,
              mode: str = "scan", walkalize_file: str | None = None,
-             max_eq_extensions: int = 3) -> WalkResult:
+             max_eq_extensions: int = 3,
+             checkpoint_file: str | None = None,
+             resume_state: "WalkState | None" = None) -> WalkResult:
     """Block/step driver with equilibration (ref: do_walk.f90:2113).
 
     Energy estimate: ratio of block sums of e_num/e_den with blocking error
@@ -945,7 +1034,14 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
     import time
 
     tables = build_walk_tables(system, trial)
-    state = init_walk_state(cfg, trial, w_abs_begin, e_trial_initial, seed)
+    if resume_state is not None:
+        # mid-walk restart (extends the reference's restart artifacts,
+        # SURVEY 5.4: "no mid-walk walker checkpoint exists" - here one
+        # does; see utils/checkpoint.save_walker_state)
+        state = resume_state
+    else:
+        state = init_walk_state(cfg, trial, w_abs_begin, e_trial_initial,
+                                seed)
 
     e_blocks = []
     w_trace, n_trace = [], []
@@ -1016,6 +1112,10 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
                   f"e_trial={float(state.e_trial):.6f} "
                   f"w_abs={float(state.w_abs_gen):.1f} nwalk={int(state.nwalk)} "
                   f"steps/s={nstep / dt:.1f}", flush=True)
+
+        if checkpoint_file is not None:
+            from ..utils.checkpoint import save_walker_state
+            save_walker_state(checkpoint_file, state)
 
         # equilibration auto-extension (ref: do_walk.f90:2917+)
         if (equil and iblk == n_eq_planned - 1 and

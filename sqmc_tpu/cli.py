@@ -110,7 +110,10 @@ def run_det_walk(cfg, system, verbose: bool = True):
         always_spawn_cutoff=cfg.always_spawn_cutoff,
         pop_ctrl_exponent=cfg.population_control_exponent,
         reweight_factor_inv_max=cfg.reweight_factor_inv_max,
-        semistochastic=cfg.semistochastic, has_singles=system.has_singles)
+        semistochastic=cfg.semistochastic, has_singles=system.has_singles,
+        proposal={"uniform": "uniform", "uniform2": "uniform",
+                  "CauchySchwarz": "cauchy_schwarz"}.get(
+                      cfg.proposal_method, "fast_heatbath"))
     out = run_walk(system, trial, wcfg, nstep=cfg.nstep, nblk=cfg.nblk,
                    nblk_eq=cfg.nblk_eq, w_abs_begin=cfg.w_abs_begin,
                    e_trial_initial=cfg.e_trial_initial or trial.e_trial,
@@ -261,6 +264,9 @@ def main(argv=None):
                    help="FCIDUMP path (default: ./FCIDUMP)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace into DIR (the "
+                        "gprof/TAU analog; view with tensorboard)")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -272,7 +278,12 @@ def main(argv=None):
     print("*" * 47)
     with open(args.input) as f:
         cfg = parse_input(f.read())
-    run_from_config(cfg, fcidump=args.fcidump)
+    if args.profile:
+        import jax
+        with jax.profiler.trace(args.profile):
+            run_from_config(cfg, fcidump=args.fcidump)
+    else:
+        run_from_config(cfg, fcidump=args.fcidump)
 
 
 if __name__ == "__main__":

@@ -331,6 +331,7 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
         opp_start=repl,
         opp_count=repl, opp_rowsum=repl,
         u_table=repl, u_cum=repl, u_rowsum=repl,
+        cs_c=repl, cs_rowsum=repl, cs_aliasJ=repl, cs_aliasq=repl,
         table=jax.tree_util.tree_map(lambda _: repl, base.table),
         ct_up=repl, ct_dn=repl, ct_num=repl, ct_den=repl,
         imp_up=sharded, imp_dn=sharded, imp_rows=sharded, imp_cols=sharded,

@@ -72,3 +72,56 @@ def test_walkalize_and_histogram(tiny, tmp_path):
     step, inv_rw, w_abs, e_gen, nwalk = lines[5].split()
     assert int(step) == 6 and float(w_abs) > 0 and int(nwalk) > 0
     assert out.spawn_hist is not None and out.spawn_hist.sum() > 0
+
+
+def test_walk_uniform_proposal_unbiased(tiny):
+    """uniform double proposals (ref off_diagonal_move_chem:4237) give the
+    same stationary mixed energy as heat-bath."""
+    sys_, res = tiny
+    trial = build_trial_wavefunction(sys_, eps_var=1e-3, n_psi_t=30, n_imp=1,
+                                     verbose=False)
+    cfg = WalkConfig(mwalk=4096, cap_spawn=16384, norb=sys_.norb, nup=2,
+                     ndn=2, n_words=1, tau=4e-3, w_abs_target=2000.0,
+                     has_singles=False, r_initiator=0.0, proposal="uniform")
+    out = run_walk(sys_, trial, cfg, nstep=100, nblk=6, nblk_eq=3,
+                   w_abs_begin=1000.0, e_trial_initial=res.energies[0],
+                   verbose=False, max_eq_extensions=0)
+    tol = 6 * max(out.e_err, 5e-6) + 5e-5
+    assert abs(out.e_mixed - res.energies[0]) < tol
+
+
+@pytest.mark.parametrize("proposal", ["uniform", "cauchy_schwarz"])
+def test_walk_chem_proposals_unbiased(proposal):
+    """uniform / Cauchy-Schwarz proposals on a chem-type system (dense
+    integrals, where the CS bound sqrt((pr|pr)(qs|qs)) is nonzero; ref
+    off_diagonal_move_chem_cauchySchwarz:2530)."""
+    import sys as _s, os as _o
+    _s.path.insert(0, _o.path.dirname(_o.path.abspath(__file__)))
+    from reference_impl import random_integrals
+    from sqmc_tpu.systems.base import FermionSystem
+    from sqmc_tpu.systems.chem.integrals import IntegralTable
+    from sqmc_tpu.systems.heatbath import build_heatbath
+    from sqmc_tpu import dets as dets_mod
+
+    NORB, NUP, NDN = 4, 2, 2
+    h, eri, core, _ = random_integrals(NORB, seed=5)
+    table = IntegralTable.from_dense_arrays(h, eri, core,
+                                            np.ones(NORB, np.int32))
+    sys_ = FermionSystem(
+        name="chem", norb=NORB, nup=NUP, ndn=NDN, table=table,
+        heatbath=build_heatbath(table),
+        orb_sym_arr=jnp.ones(NORB, jnp.int32), has_singles=True,
+        hf_up=dets_mod.det_from_orbs(range(NUP), NORB),
+        hf_dn=dets_mod.det_from_orbs(range(NDN), NORB), extra={})
+    res = run_hci(sys_, eps_var=1e-9, eps_var_sched=[1e-9] * 30,
+                  max_iters=60, verbose=False)
+    trial = build_trial_wavefunction(sys_, eps_var=1e-4, n_psi_t=10,
+                                     n_imp=1, verbose=False)
+    cfg = WalkConfig(mwalk=4096, cap_spawn=16384, norb=NORB, nup=NUP,
+                     ndn=NDN, n_words=1, tau=2e-3, w_abs_target=2000.0,
+                     has_singles=True, r_initiator=0.0, proposal=proposal)
+    out = run_walk(sys_, trial, cfg, nstep=100, nblk=6, nblk_eq=3,
+                   w_abs_begin=1000.0, e_trial_initial=res.energies[0],
+                   verbose=False, max_eq_extensions=0)
+    tol = 6 * max(out.e_err, 5e-6) + 1e-4
+    assert abs(out.e_mixed - res.energies[0]) < tol
