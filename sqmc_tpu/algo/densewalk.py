@@ -66,6 +66,11 @@ class DenseWalkConfig:
     pop_ctrl_exponent: float = 10.0
     reweight_factor_inv_max: float = 2.0
     sr_nwalk: int = 0                  # sr: comb size (0 = w_abs_target)
+    # exponential projector exp(-tau(H - E_T)) instead of the linear
+    # 1 - tau(H - E_T) (ref: use_exponential_projector card,
+    # do_walk.f90:335-340); built once by eigendecomposition of the
+    # run_type-modified effective H
+    use_exponential_projector: bool = False
 
     def __post_init__(self):
         if self.run_type not in RUN_TYPES:
@@ -147,6 +152,25 @@ def build_dense_tables(system, cfg: DenseWalkConfig, psi_t, psi_g,
     p_off, p_diag0 = _projector_parts(ham, cfg.tau, cfg.run_type, psi_g,
                                       imp, cfg.partial_node_eps)
     p_ex, p_dex = _projector_parts(ham, cfg.tau, "none", psi_g, imp, 0.0)
+    if cfg.use_exponential_projector and cfg.run_type != "vmc":
+        # exp(-tau H_eff): rebuild the effective H from the linear parts
+        # (P = 1 - tau H_eff at e_trial=0) and exponentiate; e_trial still
+        # enters at runtime through exp(tau e_trial) ~ 1 + tau e_trial on
+        # the diagonal, so keep diag0's affine role by returning
+        # exp(-tau H_eff) - via eigendecomposition
+        import scipy.linalg as _sl  # noqa: F401 (documentational)
+        for which in ("sel", "ex"):
+            po, d0 = (p_off, p_diag0) if which == "sel" else (p_ex, p_dex)
+            h_eff = -(po + np.diag(d0) - np.eye(ham.shape[0])) / cfg.tau
+            w_, v_ = np.linalg.eig(h_eff)
+            expm = (v_ @ np.diag(np.exp(-cfg.tau * w_)) @
+                    np.linalg.inv(v_)).real
+            if which == "sel":
+                p_off = expm - np.diag(np.diag(expm))
+                p_diag0 = np.diag(expm)
+            else:
+                p_ex = expm - np.diag(np.diag(expm))
+                p_dex = np.diag(expm)
 
     hpsit = ham @ psi_t
     if imp:
@@ -214,8 +238,14 @@ def _dense_step_impl(state: DenseWalkState, tables: DenseTables,
     else:
         p_off, p_diag0 = tables.p_off, tables.p_diag0
 
-    diag = p_diag0 if vmc else p_diag0 + cfg.tau * state.e_trial
-    w = p_off @ state.w + diag * state.w
+    if cfg.use_exponential_projector and not vmc:
+        # P = exp(tau e_trial) exp(-tau H_eff); the population-control
+        # shift multiplies the whole column
+        w = (p_off @ state.w + p_diag0 * state.w) * \
+            jnp.exp(cfg.tau * state.e_trial)
+    else:
+        diag = p_diag0 if vmc else p_diag0 + cfg.tau * state.e_trial
+        w = p_off @ state.w + diag * state.w
 
     # stochastic min_wt rounding keeps the vector sparse in expectation
     # (ref: reduce_my_walker do_walk.f90:7196 semantics)

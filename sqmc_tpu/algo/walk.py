@@ -214,11 +214,17 @@ def build_walk_tables(system, trial) -> WalkTables:
         in-row target draw becomes O(1) - 2 gathers instead of a
         log(row)-deep bisection of HBM gathers (ref: setup_alias,
         more_tools.f90:5603)."""
+        from ..native import build_row_alias
         from ..ops.alias import setup_alias_np
         v = np.abs(np.asarray(val))
+        st_a = np.asarray(start).astype(np.int64)
+        ct_a = np.asarray(count).astype(np.int64)
+        out = build_row_alias(v, st_a, ct_a)
+        if out is not None:
+            return out
         J = np.zeros(len(v), np.int32)
         q = np.ones(len(v))
-        for s, c in zip(np.asarray(start), np.asarray(count)):
+        for s, c in zip(st_a, ct_a):
             if c <= 0:
                 continue
             row = v[s:s + c]

@@ -18,7 +18,13 @@ def setup_alias_np(prob: np.ndarray):
     """Build alias tables on host.  prob: [K] nonnegative, sums to 1.
 
     Returns (J [K] int32 alias index, q [K] float64 acceptance threshold).
+    Uses the native C++ Vose builder when available (sqmc_tpu.native) -
+    the Python loop is O(K) interpreted and dominates setup for large K.
     """
+    from ..native import build_alias
+    out = build_alias(prob)
+    if out is not None:
+        return out
     K = len(prob)
     q = prob * K
     J = np.arange(K, dtype=np.int32)

@@ -79,12 +79,21 @@ def read_fcidump(path: str) -> FCIDumpData:
 
     # --- body ---
     body = text[end:]
-    toks = body.split()
-    vals = np.array(toks[0::5], dtype=np.float64)
-    p = np.array(toks[1::5], dtype=np.int64)
-    q = np.array(toks[2::5], dtype=np.int64)
-    r = np.array(toks[3::5], dtype=np.int64)
-    s = np.array(toks[4::5], dtype=np.int64)
+    from ...native import parse_records
+    rec = parse_records(body.encode())
+    if rec is not None:
+        vals, idx = rec
+        p = idx[:, 0].astype(np.int64)
+        q = idx[:, 1].astype(np.int64)
+        r = idx[:, 2].astype(np.int64)
+        s = idx[:, 3].astype(np.int64)
+    else:
+        toks = body.split()
+        vals = np.array(toks[0::5], dtype=np.float64)
+        p = np.array(toks[1::5], dtype=np.int64)
+        q = np.array(toks[2::5], dtype=np.int64)
+        r = np.array(toks[3::5], dtype=np.int64)
+        s = np.array(toks[4::5], dtype=np.int64)
 
     h = np.zeros((norb, norb), dtype=np.float64)
     eri = np.zeros(n_eri(norb), dtype=np.float64)

@@ -193,3 +193,16 @@ def test_toy_psi_t_guiding():
     assert psi_g[0] == pytest.approx(0.8)
     # off-support guiding value: sqrt((1-0.8)/(10-2))
     assert psi_g[5] == pytest.approx(np.sqrt((1 - 0.8) / 8))
+
+
+def test_exponential_projector(boson):
+    """exp projector (ref use_exponential_projector card): stationary
+    energy matches ED; deterministic limit exact in one application
+    sense (the exp projector's dominant eigvec IS the ground state)."""
+    w, g = boson.diagonalize()
+    cfg = DenseWalkConfig(ndet=boson.ndet, tau=0.05, w_abs_target=2000.0,
+                          run_type="none", min_wt=0.25,
+                          use_exponential_projector=True)
+    out = run_dense_walk(boson, cfg, psi_t=g, nstep=150, nblk=10, nblk_eq=4,
+                         w_abs_begin=500.0, seed=7)
+    assert abs(out.e_mixed - w[0]) < max(4 * out.e_err, 2e-3)
