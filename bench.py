@@ -32,6 +32,10 @@ def main():
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+        # hardware RngBitGenerator instead of threefry: the walk draws ~6
+        # uniform [CAP] vectors per generation and threefry's software
+        # rounds showed up at ~18 ms/step in the device profile
+        _jax.config.update("jax_default_prng_impl", "rbg")
     except Exception:
         pass
     from sqmc_tpu.systems.base import make_chem_system

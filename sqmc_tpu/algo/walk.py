@@ -824,11 +824,16 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     n_groups = gid[-1] + 1
 
     # D-space membership of each entry's det (for the -1 discard rule and
-    # imp codes); C(T) membership for imp=-2
+    # imp codes); C(T) membership for imp=-2.  D dets are ALWAYS resident
+    # in the walker list with imp==0 (seeded at init, never dropped by the
+    # keep rule below), so membership is a per-group reduction - no det
+    # search needed.
     if cfg.semistochastic and n_imp > 0:
-        in_D = _searchsorted_dets(tables.imp_up, tables.imp_dn, s_up, s_dn,
-                                  cfg.norb) >= 0
+        g_has_D = jax.ops.segment_max(
+            jnp.where(s_is & (s_imp == 0), 1, 0), gid, num_segments=N) > 0
+        in_D = g_has_D[jnp.clip(gid, 0, N - 1)]
     else:
+        g_has_D = jnp.zeros(N, bool)
         in_D = jnp.zeros(N, bool)
 
     # discard stochastic D->D spawns (ref merge rule :5947)
@@ -850,7 +855,7 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     first_idx = jnp.clip(first_idx, 0, N - 1)
     g_up = s_up[first_idx]
     g_dn = s_dn[first_idx]
-    g_in_D = jax.ops.segment_max(in_D.astype(jnp.int32), gid, num_segments=N) > 0
+    g_in_D = g_has_D
     g_valid = jax.ops.segment_max(s_is.astype(jnp.int32), gid, num_segments=N) > 0
 
     g_imp = jnp.where(g_in_D, 0, jnp.where(has_m2 > 0, -2, g_imp_min))

@@ -83,11 +83,19 @@ def single_element_no_sign(table: IntegralTable, bits_same: jnp.ndarray,
     norb = table.norb
     qs = jnp.arange(norb, dtype=jnp.int32)
 
-    qb = jnp.broadcast_to(qs[None, :], (p.shape[0], norb))
-    pb = jnp.broadcast_to(p[:, None], qb.shape)
-    rb = jnp.broadcast_to(r[:, None], qb.shape)
-    direct_row = table.eri_value(pb, rb, qb, qb)   # [B,norb] (pr|qq)
-    exch_row = table.eri_value(pb, qb, qb, rb)     # [B,norb] (pq|qr)
+    if table.sing_dir is not None:
+        # contiguous row gathers from the precomputed [norb^2, norb]
+        # tables - far cheaper than scattered quad-index gathers from the
+        # compact ERI (the dominant cost of the walk's singles channel)
+        row = p * norb + r
+        direct_row = table.sing_dir[row]           # [B,norb] (pr|qq)
+        exch_row = table.sing_exch[row]            # [B,norb] (pq|qr)
+    else:
+        qb = jnp.broadcast_to(qs[None, :], (p.shape[0], norb))
+        pb = jnp.broadcast_to(p[:, None], qb.shape)
+        rb = jnp.broadcast_to(r[:, None], qb.shape)
+        direct_row = table.eri_value(pb, rb, qb, qb)   # [B,norb] (pr|qq)
+        exch_row = table.eri_value(pb, qb, qb, rb)     # [B,norb] (pq|qr)
 
     same = bits_same.astype(jnp.float64)
     other = bits_other.astype(jnp.float64)
