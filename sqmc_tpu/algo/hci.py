@@ -60,6 +60,36 @@ def _active_space_mask(cu, cd, active_space, nup, ndn, norb):
     return ok
 
 
+def run_eps_series(system, eps_list, eps_pt: float, verbose: bool = False,
+                   **hci_kwargs):
+    """(E_var, dE2) for a descending eps_var series + the linear
+    extrapolation to dE2 -> 0 (ref: energies_for_extrapolation,
+    hci.f90:1824 - batched variational+PT energies over the schedule).
+
+    Returns dict(eps, e_var, e_pt, e_tot, e_extrapolated, slope)."""
+    from .pt import do_pt
+
+    eps_list = sorted(set(float(e) for e in eps_list), reverse=True)
+    e_var, e_pt = [], []
+    for i, eps in enumerate(eps_list):
+        res = run_hci(system, eps_var=eps,
+                      eps_var_sched=eps_list[:i + 1], verbose=verbose,
+                      **hci_kwargs)
+        out = do_pt(system, res.up, res.dn, res.wts[:, 0], res.diag,
+                    float(res.energies[0]), eps_var=eps, eps_pt=eps_pt,
+                    verbose=verbose)
+        e_var.append(float(res.energies[0]))
+        e_pt.append(out["pt"])
+        if verbose:
+            print(f"eps_var={eps:.2e}  E_var={e_var[-1]:.9f} "
+                  f"dE2={e_pt[-1]:.9f}", flush=True)
+    e0, slope = extrapolate_energy(np.asarray(e_var), np.asarray(e_pt))
+    return dict(eps=eps_list, e_var=np.asarray(e_var),
+                e_pt=np.asarray(e_pt),
+                e_tot=np.asarray(e_var) + np.asarray(e_pt),
+                e_extrapolated=e0, slope=slope)
+
+
 def extrapolate_energy(e_var: np.ndarray, e_pt: np.ndarray):
     """Linear extrapolation of E_tot = E_var + dE2 against dE2 -> 0 over
     an eps_var series (ref: energies_for_extrapolation, hci.f90:1824).

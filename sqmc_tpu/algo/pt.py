@@ -186,16 +186,41 @@ def estimate_n_connections(system, up, dn, wts, eps: float,
     return int(per_ref * n)
 
 
+def free_memory_bytes() -> int:
+    """MemAvailable from /proc/meminfo (ref: get_free_memory,
+    tools.f90:1134)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return 8 << 30
+
+
 def do_pt(system, up, dn, wts, diag, var_energy: float, eps_var: float,
           eps_pt: float, eps_pt_big: float = -1.0, target_error: float = -1.0,
           n_mc: int = -1, n_max_connections: int = 40_000_000,
-          seed: int = 0, verbose: bool = True):
+          seed: int = 0, verbose: bool = True,
+          eps_pt_big_energy: float | None = None):
     """PT driver: deterministic if the estimated connection count fits,
     else semistochastic with an auto-chosen eps_pt_big
     (ref: hci.f90 do_pt:4148).
 
+    n_max_connections <= 0: auto-size from free RAM (~48 bytes per
+    connection; ref hci.f90:629-640 mem_avail sizing).
+    eps_pt_big_energy: a previous run's deterministic part for this
+    eps_pt_big, reused instead of recomputed (ref: eps_pt_big_energy
+    namelist, common_selected_ci.f90).
+
     Returns dict(pt, pt_err, e_tot, mode, ...).
     """
+    if n_max_connections <= 0:
+        n_max_connections = int(free_memory_bytes() * 0.4 / 48)
+        if verbose:
+            print(f"n_max_connections auto-sized from free memory: "
+                  f"{n_max_connections}", flush=True)
     n_est = estimate_n_connections(system, up, dn, wts, eps_pt)
     if verbose:
         print(f"If eps_pt={eps_pt:.4e} estimated number of connections to "
@@ -219,7 +244,12 @@ def do_pt(system, up, dn, wts, diag, var_energy: float, eps_var: float,
                 break
             n_est = estimate_n_connections(system, up, dn, wts, eps_pt_big)
 
-    if eps_pt_big < eps_var:
+    if eps_pt_big_energy is not None:
+        pt_big, n_conn = float(eps_pt_big_energy), 0
+        if verbose:
+            print(f"Reusing deterministic part eps_pt_big_energy="
+                  f"{pt_big:.9f}", flush=True)
+    elif eps_pt_big < eps_var:
         pt_big, n_conn = second_order_pt(system, up, dn, wts, var_energy,
                                          eps_pt_big, verbose=verbose)
     else:

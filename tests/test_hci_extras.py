@@ -8,7 +8,7 @@ import pytest
 import jax.numpy as jnp
 
 from sqmc_tpu import dets
-from sqmc_tpu.algo.hci import extrapolate_energy, run_hci
+from sqmc_tpu.algo.hci import extrapolate_energy, run_eps_series, run_hci
 from sqmc_tpu.algo.rdm import get_1rdm, get_1rdm_with_pt
 from sqmc_tpu.systems.base import FermionSystem
 from sqmc_tpu.systems.chem.integrals import IntegralTable
@@ -151,3 +151,36 @@ def test_1rdm_trace(small):
     gamma = get_1rdm(system, up[so], dn[so], c)
     assert np.trace(gamma) == pytest.approx(4.0, abs=1e-10)
     np.testing.assert_allclose(gamma, gamma.T, atol=1e-12)
+
+
+def test_run_eps_series_extrapolation():
+    """Extrapolation driver over an eps_var series on HEG: e_extrapolated
+    must beat every series total toward the exact limit (monotone dE2)."""
+    heg = make_heg_system(3, 0.5, 14, 7, 1.49)
+    out = run_eps_series(heg, [4e-3, 2e-3, 1e-3], eps_pt=2e-7,
+                         verbose=False)
+    assert np.all(np.diff(out["e_var"]) < 1e-12)      # tighter eps, lower E
+    # the dE2 -> 0 limit continues the e_tot trend past the tightest point:
+    # closer to the last total than the loosest total is
+    d_last = abs(out["e_extrapolated"] - out["e_tot"][-1])
+    assert d_last < abs(out["e_tot"][0] - out["e_tot"][-1]) + 1e-9
+    # golden check: within 0.5 mHa of the tightest total (HEG is nearly
+    # converged at eps_var=1e-3)
+    assert d_last < 5e-4
+
+
+def test_pt_memory_autosize_and_reuse():
+    heg = make_heg_system(3, 0.5, 14, 7, 1.49)
+    res = run_hci(heg, eps_var=2e-3, eps_var_sched=[2e-3] * 5, verbose=False)
+    from sqmc_tpu.algo.pt import do_pt
+    out = do_pt(heg, res.up, res.dn, res.wts[:, 0], res.diag,
+                float(res.energies[0]), eps_var=2e-3, eps_pt=2e-6,
+                n_max_connections=0, verbose=False)
+    assert out["mode"] == "deterministic"
+    # eps_pt_big_energy reuse skips the deterministic recompute
+    out2 = do_pt(heg, res.up, res.dn, res.wts[:, 0], res.diag,
+                 float(res.energies[0]), eps_var=2e-3, eps_pt=2e-6,
+                 eps_pt_big=1e-4, eps_pt_big_energy=-0.000123,
+                 n_mc=50, target_error=1e-3, verbose=False)
+    assert out2["mode"] == "semistochastic"
+    assert out2["pt_big"] == -0.000123
