@@ -19,8 +19,10 @@ NUP = NDN = 2
 
 @pytest.fixture(scope="module")
 def rho():
+    # nup_emb=2 keeps the embedding ED small for CI; the construction is
+    # filling-agnostic (make_hubbarddm_dense uses the matched filling)
     return patch_density_matrix(CROSS_BONDS, CROSS_NSITES, T, U,
-                                nup_emb=3, ndn_emb=3)
+                                nup_emb=2, ndn_emb=2)
 
 
 def test_patch_dm_properties(rho):
@@ -69,8 +71,9 @@ def test_truncated_dm_basis_is_variational(rho):
 
 
 def test_make_hubbarddm_dense_end_to_end():
-    sys_, info = make_hubbarddm_dense(LX, LY, T, U, NUP, NDN,
+    # 1up/1dn keeps the auto-matched embedding ED tiny
+    sys_, info = make_hubbarddm_dense(LX, LY, T, U, 1, 1,
                                       keep_per_sector=None)
-    toy = make_hubbard_dense_system(LX, LY, T, U, NUP, NDN, pbc=True)
+    toy = make_hubbard_dense_system(LX, LY, T, U, 1, 1, pbc=True)
     np.testing.assert_allclose(np.linalg.eigvalsh(sys_.ham)[0],
                                np.linalg.eigvalsh(toy.ham)[0], atol=1e-8)
