@@ -83,6 +83,12 @@ class WalkConfig:
     # determinant sharding over a mesh axis (SURVEY P1/P2): when axis_name
     # is set, mwalk/cap_spawn are PER-SHARD capacities, spawns are routed
     # to their owner shard by all_to_all, and control scalars are psummed
+    # C(T) states (imp == -2) are permanent initiators when set (ref
+    # c_t_initiator card, do_walk.f90:383; permanent initiator = code 3,
+    # never demoted).  The related hf_to_psit option (exact Psi_T-column
+    # treatment, do_walk.f90:2281-2296) is subsumed here by the exact
+    # D-space projection: include Psi_T in the deterministic space.
+    c_t_initiator: bool = False
     axis_name: str | None = None
     n_dev: int = 1
 
@@ -869,6 +875,9 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     promote = (g_init < 2) & (((absg > thr) & (g_imp >= 0)) |
                               ((absg > cfg.r_initiator) & (g_imp == -2)))
     g_init = jnp.where(demote, 1, jnp.where(promote, g_init + 1, g_init))
+    if cfg.c_t_initiator:
+        # C(T) dets are permanent initiators (ref: c_t_initiator)
+        g_init = jnp.where(g_imp == -2, 3, g_init)
 
     keep = g_valid & ~(((g_wt == 0.0) | (g_init == 0)) & (g_imp >= 1))
 

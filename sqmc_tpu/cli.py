@@ -111,6 +111,7 @@ def run_det_walk(cfg, system, verbose: bool = True):
         pop_ctrl_exponent=cfg.population_control_exponent,
         reweight_factor_inv_max=cfg.reweight_factor_inv_max,
         semistochastic=cfg.semistochastic, has_singles=system.has_singles,
+        c_t_initiator=cfg.c_t_initiator,
         proposal={"uniform": "uniform", "uniform2": "uniform",
                   "CauchySchwarz": "cauchy_schwarz"}.get(
                       cfg.proposal_method, "fast_heatbath"))
