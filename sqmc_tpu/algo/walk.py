@@ -113,16 +113,12 @@ class WalkTables(NamedTuple):
     same_val: jnp.ndarray
     same_aliasJ: jnp.ndarray     # row-local alias index (in-row sampling
     same_aliasq: jnp.ndarray     # ~ |val| in O(1); ref setup_alias)
-    same_start: jnp.ndarray
-    same_count: jnp.ndarray
-    same_rowsum: jnp.ndarray
+    same_pack: jnp.ndarray       # [ntri, 3] f64 (start, count, rowsum)
     opp_rs: jnp.ndarray
     opp_val: jnp.ndarray
     opp_aliasJ: jnp.ndarray
     opp_aliasq: jnp.ndarray
-    opp_start: jnp.ndarray
-    opp_count: jnp.ndarray
-    opp_rowsum: jnp.ndarray
+    opp_pack: jnp.ndarray
     # singles upper-bound table (chem): U[p,r] (0 if symmetry-forbidden),
     # row sums and in-row prefix sums
     u_table: jnp.ndarray         # [norb, norb]
@@ -283,15 +279,20 @@ def build_walk_tables(system, trial) -> WalkTables:
     c_all = np.concatenate([H.cols, H.rows, np.arange(n_imp)]).astype(np.int32)
     v_all = np.concatenate([H.vals, H.vals, H.diag])
 
+    same_pack = np.stack([np.asarray(hb.same_start, np.float64),
+                          np.asarray(hb.same_count, np.float64),
+                          s_rowsum], axis=1)
+    opp_pack = np.stack([np.asarray(hb.opp_start, np.float64),
+                         np.asarray(hb.opp_count, np.float64),
+                         o_rowsum], axis=1)
+
     return WalkTables(
         same_rs=hb.same_rs, same_val=hb.same_val,
         same_aliasJ=jnp.asarray(s_J), same_aliasq=jnp.asarray(s_q),
-        same_start=hb.same_start, same_count=hb.same_count,
-        same_rowsum=jnp.asarray(s_rowsum),
+        same_pack=jnp.asarray(same_pack),
         opp_rs=hb.opp_rs, opp_val=hb.opp_val,
         opp_aliasJ=jnp.asarray(o_J), opp_aliasq=jnp.asarray(o_q),
-        opp_start=hb.opp_start, opp_count=hb.opp_count,
-        opp_rowsum=jnp.asarray(o_rowsum),
+        opp_pack=jnp.asarray(opp_pack),
         u_table=jnp.asarray(U), u_cum=jnp.asarray(u_cum),
         u_rowsum=jnp.asarray(u_rowsum),
         cs_c=jnp.asarray(cs_c), cs_rowsum=jnp.asarray(cs_rowsum),
@@ -510,12 +511,14 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     row_same = tri_lt(a_p, b_p)
     row_opp = tri_le(a_p, b_p)
     is_opp = kind_pair == 2
-    pr_start = jnp.where(is_opp, tables.opp_start[row_opp],
-                         tables.same_start[row_same])
-    pr_count = jnp.where(is_opp, tables.opp_count[row_opp],
-                         tables.same_count[row_same])
-    pr_rowsum = jnp.where(is_opp, tables.opp_rowsum[row_opp],
-                          tables.same_rowsum[row_same])
+    # one packed row-gather per family instead of 3 separate gathers each
+    # (start/count/rowsum packed as f64 rows; exact below 2^53)
+    pk_same = tables.same_pack[row_same]          # [M, npairs, 3]
+    pk_opp = tables.opp_pack[row_opp]
+    pk = jnp.where(is_opp[:, :, None], pk_opp, pk_same)
+    pr_start = pk[:, :, 0].astype(jnp.int32)
+    pr_count = pk[:, :, 1].astype(jnp.int32)
+    pr_rowsum = pk[:, :, 2]
     if cfg.proposal == "uniform":
         pr_weight = jnp.where(pr_rowsum > 0, 1.0, 0.0)
     elif cfg.proposal == "cauchy_schwarz":

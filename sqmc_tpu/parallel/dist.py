@@ -325,11 +325,9 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
         e_num_blk=repl, e_den_blk=repl, w_abs_gen=repl, overflow=repl)
     table_specs = WalkTables(
         same_rs=repl, same_val=repl, same_aliasJ=repl, same_aliasq=repl,
-        same_start=repl,
-        same_count=repl, same_rowsum=repl,
+        same_pack=repl,
         opp_rs=repl, opp_val=repl, opp_aliasJ=repl, opp_aliasq=repl,
-        opp_start=repl,
-        opp_count=repl, opp_rowsum=repl,
+        opp_pack=repl,
         u_table=repl, u_cum=repl, u_rowsum=repl,
         cs_c=repl, cs_rowsum=repl, cs_aliasJ=repl, cs_aliasq=repl,
         table=jax.tree_util.tree_map(lambda _: repl, base.table),
