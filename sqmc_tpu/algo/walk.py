@@ -994,12 +994,16 @@ def walk_step(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     return _walk_step_impl(state, tables, cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "nstep"),
-                   donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnames=("cfg", "nstep"))
 def walk_block(state: WalkState, tables: WalkTables, cfg: WalkConfig,
                nstep: int):
     """A whole block of generations as one lax.scan: a single device
     dispatch per block, so high-latency links (and kernel-launch overhead)
+
+    No donation: donated outputs get different layouts than freshly
+    committed inputs, forcing a second full compile of the same program
+    on call 2 (observed ~3 min each through the remote-compile tunnel);
+    one state copy per ~100-step block is negligible.
     are amortized across the block.  Returns (state, stacked stats)."""
 
     def body(st, _):
