@@ -62,12 +62,12 @@ def main():
     print(f"# setup {time.time() - t0:.1f}s  e_trial={trial.e_trial:.6f}",
           file=sys.stderr)
 
-    cfg = WalkConfig(mwalk=1 << 14, cap_spawn=1 << 16, norb=system.norb,
+    cfg = WalkConfig(mwalk=1 << 14, cap_spawn=1 << 17, norb=system.norb,
                      nup=system.nup, ndn=system.ndn, n_words=system.n_words,
-                     tau=2e-3, w_abs_target=80_000.0, has_singles=True,
+                     tau=2e-3, w_abs_target=200_000.0, has_singles=True,
                      spawn_granularity=2.0)
     out = run_walk(system, trial, cfg, nstep=100, nblk=3, nblk_eq=2,
-                   w_abs_begin=20_000.0, e_trial_initial=trial.e_trial,
+                   w_abs_begin=50_000.0, e_trial_initial=trial.e_trial,
                    verbose=True, mode="scan", max_eq_extensions=0)
     pop = float(np.mean(out.w_abs_trace[-300:]))
     walker_steps = pop * out.steps_per_sec

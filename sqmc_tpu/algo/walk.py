@@ -525,12 +525,12 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         pr_weight = tables.cs_rowsum[p_pair] * tables.cs_rowsum[q_pair]
     else:
         pr_weight = pr_rowsum
-    pair_cum = jnp.cumsum(pr_weight, axis=1)                 # [M, npairs]
+    pair_cum = prefix.cumsum_rows(pr_weight)                 # [M, npairs]
     W2tot = pair_cum[:, -1]
 
     if cfg.has_singles:
         u_rows = tables.u_rowsum[jnp.concatenate([occ_up, occ_dn], axis=1)]
-        sing_cum = jnp.cumsum(u_rows, axis=1)                # [M, nelec]
+        sing_cum = prefix.cumsum_rows(u_rows)                # [M, nelec]
         Utot = sing_cum[:, -1]
     else:
         sing_cum = jnp.zeros((M, 1))
@@ -660,9 +660,9 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     dbl_ok = ~(r_occ | s_occ)
 
     # fermion sign via prefix parity (same scheme as connect.emit_doubles)
-    pref_up = jnp.cumsum(bits_up.astype(jnp.int32), axis=1)
+    pref_up = prefix.cumsum_rows(bits_up.astype(jnp.int32))
     pref_up = jnp.concatenate([jnp.zeros((M, 1), jnp.int32), pref_up], axis=1)
-    pref_dn = jnp.cumsum(bits_dn.astype(jnp.int32), axis=1)
+    pref_dn = prefix.cumsum_rows(bits_dn.astype(jnp.int32))
     pref_dn = jnp.concatenate([jnp.zeros((M, 1), jnp.int32), pref_dn], axis=1)
 
     def in_window(x, a_pos, b_pos):

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -46,3 +48,20 @@ def cumsum_i32(x: jnp.ndarray, block: int = _BLOCK) -> jnp.ndarray:
         off = cumsum_i32(totals, block) - totals
     out = inner.astype(jnp.int32) + off[:, None]
     return out.reshape(-1)[:n]
+
+
+def cumsum_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumsum along the LAST axis of a 2-D array as a single
+    [*, K]x[K, K] triangular matmul (XLA lowers short-axis cumsum to a
+    K-iteration while loop with dynamic-update-slice carries; one MXU
+    matmul is cheaper for K up to a few hundred).  Exact for f64 inputs
+    (HIGHEST precision) and for integer-valued f32 sums < 2^24."""
+    k = x.shape[-1]
+    dt = x.dtype
+    as_int = jnp.issubdtype(dt, jnp.integer)
+    xf = x.astype(jnp.float32) if as_int else x
+    tri = jnp.asarray(np.triu(np.ones((k, k), xf.dtype)))
+    out = jax.lax.dot_general(
+        xf, tri, (((x.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+    return out.astype(dt) if as_int else out

@@ -125,3 +125,31 @@ def test_walk_chem_proposals_unbiased(proposal):
                    verbose=False, max_eq_extensions=0)
     tol = 6 * max(out.e_err, 5e-6) + 1e-4
     assert abs(out.e_mixed - res.energies[0]) < tol
+
+
+def test_walk_hubbardk_vs_fci():
+    """FCIQMC on momentum-space Hubbard (no singles channel): stationary
+    mixed energy equals the FCI ground state reachable from HF."""
+    import itertools
+    from sqmc_tpu.systems.hubbard.system import make_hubbard_k_system
+    from sqmc_tpu.algo.sparseham import build_sparse_ham
+    from sqmc_tpu.algo.davidson import davidson
+    from sqmc_tpu import dets as dets_mod
+
+    hub = make_hubbard_k_system(2, 2, t=1.0, U=4.0, nup=2, ndn=2)
+    ups = [dets_mod.det_from_orbs(c, hub.norb)
+           for c in itertools.combinations(range(hub.norb), 2)]
+    up = np.repeat(np.stack(ups), len(ups), axis=0)
+    dn = np.tile(np.stack(ups), (len(ups), 1))
+    H = build_sparse_ham(hub.table, up, dn, 2, 2, hub.norb)
+    e0 = float(davidson(H, n_states=1)[0][0])
+
+    trial = build_trial_wavefunction(hub, eps_var=1e-6, n_psi_t=36, n_imp=1,
+                                     verbose=False)
+    cfg = WalkConfig(mwalk=2048, cap_spawn=8192, norb=hub.norb, nup=2,
+                     ndn=2, n_words=1, tau=5e-3, w_abs_target=2000.0,
+                     has_singles=False, r_initiator=0.0)
+    out = run_walk(hub, trial, cfg, nstep=100, nblk=6, nblk_eq=3,
+                   w_abs_begin=1000.0, e_trial_initial=e0,
+                   verbose=False, max_eq_extensions=0)
+    assert abs(out.e_mixed - e0) < 6 * max(out.e_err, 5e-6) + 1e-4
