@@ -136,7 +136,8 @@ def run_from_config(cfg, fcidump: str | None = None, verbose: bool = True):
             fcidump or "FCIDUMP", nup=cfg.nup or None,
             ndn=(cfg.nelec - cfg.nup) if cfg.nelec else None,
             time_sym=cfg.time_sym, z=cfg.z, point_group=cfg.point_group,
-            hf_symmetry=cfg.hf_symmetry)
+            hf_symmetry=cfg.hf_symmetry, hf_up_occ_in=cfg.hf_up_occ,
+            hf_dn_occ_in=cfg.hf_dn_occ)
     elif cfg.hamiltonian_type == "heg":
         from .systems.heg.system import make_heg_system
         system = make_heg_system(cfg.n_dim, cfg.r_s, cfg.nelec, cfg.nup,

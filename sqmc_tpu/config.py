@@ -108,6 +108,8 @@ class SqmcInput:
     w_min: float = -1.0
     w_max: float = 1.0
     active_space: tuple | None = None
+    hf_up_occ: list | None = None       # &hf_det up= (1-based orbitals)
+    hf_dn_occ: list | None = None
 
 
 def _parse_bool(tok: str) -> bool:
@@ -373,6 +375,12 @@ def parse_input(text: str) -> SqmcInput:
     hf = nl.get("hf_det", {})
     if "hf_symmetry" in hf:
         cfg.hf_symmetry = int(hf["hf_symmetry"])
+    if "up" in hf:
+        v = hf["up"]
+        cfg.hf_up_occ = [int(x) for x in (v if isinstance(v, list) else [v])]
+    if "dn" in hf:
+        v = hf["dn"]
+        cfg.hf_dn_occ = [int(x) for x in (v if isinstance(v, list) else [v])]
     # &natorb (ref: common_selected_ci.f90:51-54)
     nat = nl.get("natorb", {})
     cfg.get_natorbs = bool(nat.get("get_natorbs", False))

@@ -53,18 +53,33 @@ def make_chem_system(fcidump_path: str, nup: int | None = None,
                      ndn: int | None = None, reorder: bool = True,
                      with_heatbath: bool = True, time_sym: bool = False,
                      z: int = 1, point_group: str | None = None,
-                     hf_symmetry: int | None = None) -> FermionSystem:
+                     hf_symmetry: int | None = None,
+                     hf_up_occ_in=None, hf_dn_occ_in=None) -> FermionSystem:
     """Molecular system from an FCIDUMP (ref workload: chemistry.f90).
 
     hf_symmetry: if given, re-pick the starting det as the lowest-diagonal
     det of that spatial irrep within CISD of the aufbau det (ref:
     auto_assign_hci0_occs / find_lowest_energy_det_in_cisd
     chemistry.f90:10359,10457).
+    hf_up_occ_in/hf_dn_occ_in: explicit starting-det occupations (1-based
+    ORIGINAL orbital labels, the reference's `&hf_det up=... dn=...`
+    namelist; mapped through the reordering permutation).
     """
     from .chem.fcidump import load_fcidump_system
 
     table, hf_up_occ, hf_dn_occ, info = load_fcidump_system(
         fcidump_path, nup=nup, ndn=ndn, reorder=reorder)
+    if hf_up_occ_in is not None:
+        perm = np.asarray(info["perm"])       # perm[new] = original index
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm))      # original -> new
+
+        def _map(orbs):
+            return np.sort(inv[np.asarray(orbs, np.int64) - 1])
+
+        hf_up_occ = _map(hf_up_occ_in)
+        hf_dn_occ = _map(hf_dn_occ_in if hf_dn_occ_in is not None
+                         else hf_up_occ_in)
     hf_up = dets.det_from_orbs(hf_up_occ, table.norb)
     hf_dn = dets.det_from_orbs(hf_dn_occ, table.norb)
     hb = build_heatbath(table) if with_heatbath else None

@@ -61,3 +61,36 @@ def test_triplet_sector_higher():
 def test_z_minus1_requires_open_shell_start():
     with pytest.raises(ValueError, match="self-symmetric"):
         make_chem_system(FCIDUMP, time_sym=True, z=-1)
+
+
+def test_hf_det_namelist_occupations():
+    """&hf_det up=/dn= explicit occupations (ref: common_selected_ci.f90:49
+    namelist) map through the orbital reordering and land on the right
+    determinant."""
+    from sqmc_tpu.config import parse_input
+    from sqmc_tpu import dets as dets_mod
+
+    text = """1 1 seeds
+hci
+1e-2 1e-5 1e-4 1
+f
+'chem' 0
+8 4 nelec nup
+d2h
+f
+26
+1,5,3,2,1,7,6,5,1,2,3,1,6,7,5,4,1,5,3,2,8,5,1,7,6,5, syms
+1
+0
+&hf_det up=1,2,3,5 dn=1,2,3,4 /
+"""
+    cfg = parse_input(text)
+    assert cfg.hf_up_occ == [1, 2, 3, 5]
+    assert cfg.hf_dn_occ == [1, 2, 3, 4]
+    sys_ = make_chem_system(FCIDUMP, hf_up_occ_in=cfg.hf_up_occ,
+                            hf_dn_occ_in=cfg.hf_dn_occ)
+    # the packed det has exactly the requested (remapped) orbitals set
+    assert len(dets_mod.orbs_from_det(sys_.hf_up, sys_.norb)) == 4
+    assert len(dets_mod.orbs_from_det(sys_.hf_dn, sys_.norb)) == 4
+    # up and dn differ (open-shell choice respected)
+    assert not np.array_equal(sys_.hf_up, sys_.hf_dn)
