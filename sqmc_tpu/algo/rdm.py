@@ -220,3 +220,27 @@ def get_1rdm_with_pt(system, up, dn, wts, var_energy: float,
     np.add.at(gamma, (p, q), val)             # orientation: the factor 2
     np.add.at(gamma, (q, p), val)             # of 2<psi0|rho|psi1>
     return gamma
+
+
+def expand_time_symmetrized(up, dn, wts, z: int = 1):
+    """Convert a time-symmetrized wavefunction (representatives with
+    up <= dn) to the plain determinant basis (ref:
+    convert_time_symmetrized_to_dets, hci.f90:4365):
+    |rep_ts> = (|up,dn> + z |dn,up>)/sqrt2 for up != dn, |up,up> as-is.
+
+    Returns (up2, dn2, wts2) sorted by det key."""
+    from ..ops import setalg
+
+    up = np.asarray(up)
+    dn = np.asarray(dn)
+    wts = np.asarray(wts, np.float64)
+    sym = np.all(up == dn, axis=1)
+    s2 = 1.0 / np.sqrt(2.0)
+    u_out = [up[sym], up[~sym], dn[~sym]]
+    d_out = [dn[sym], dn[~sym], up[~sym]]
+    w_out = [wts[sym], wts[~sym] * s2, z * wts[~sym] * s2]
+    up2 = np.concatenate(u_out)
+    dn2 = np.concatenate(d_out)
+    w2 = np.concatenate(w_out)
+    order = setalg.lexsort_dets(up2, dn2)
+    return up2[order], dn2[order], w2[order]

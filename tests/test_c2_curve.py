@@ -94,3 +94,25 @@ f
     assert len(dets_mod.orbs_from_det(sys_.hf_dn, sys_.norb)) == 4
     # up and dn differ (open-shell choice respected)
     assert not np.array_equal(sys_.hf_up, sys_.hf_dn)
+
+
+def test_expand_time_symmetrized_energy_invariant(runs):
+    """Expanding the z=+1 wavefunction into the det basis preserves the
+    Rayleigh quotient (ref: convert_time_symmetrized_to_dets hci.f90:4365)
+    and yields a normalized, trace-correct 1-RDM."""
+    from sqmc_tpu.algo.rdm import expand_time_symmetrized, get_1rdm
+    from sqmc_tpu.algo.sparseham import build_sparse_ham
+    from sqmc_tpu.algo.davidson import matvec
+
+    _, r_ts = runs
+    ts = make_chem_system(FCIDUMP, time_sym=True, z=1)
+    up2, dn2, w2 = expand_time_symmetrized(r_ts.up, r_ts.dn,
+                                           r_ts.wts[:, 0], z=1)
+    assert abs(np.linalg.norm(w2) - 1.0) < 1e-10
+    plain = make_chem_system(FCIDUMP)
+    H = build_sparse_ham(plain.table, up2, dn2, plain.nup, plain.ndn,
+                         plain.norb)
+    e = float(w2 @ np.asarray(matvec(H, w2)))
+    assert e == pytest.approx(float(r_ts.energies[0]), abs=1e-8)
+    g = get_1rdm(plain, up2, dn2, w2)
+    assert np.trace(g) == pytest.approx(plain.nup + plain.ndn, abs=1e-9)
