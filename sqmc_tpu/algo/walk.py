@@ -89,6 +89,17 @@ class WalkConfig:
     # treatment, do_walk.f90:2281-2296) is subsumed here by the exact
     # D-space projection: include Psi_T in the deterministic space.
     c_t_initiator: bool = False
+    # annihilation strategy: two-level (default) scatter-adds spawns that
+    # hit existing walkers and only sorts the (few) new-det spawns - the
+    # reference's merge_original_with_spawned shape; full_sort_merge
+    # restores the single big sort over [M+CAP] (A/B / fallback).
+    full_sort_merge: bool = False
+    # capacity for distinct NEW determinants per step (0 = cap_spawn//8)
+    cap_new: int = 0
+
+    @property
+    def cap_new_eff(self):
+        return self.cap_new or max(self.cap_spawn // 8, 4096)
     axis_name: str | None = None
     n_dev: int = 1
 
@@ -423,6 +434,38 @@ def _searchsorted_dets(list_up, list_dn, q_up, q_dn, norb: int | None = None):
     idx = jnp.clip(lo, 0, n - 1)
     found = (lu[idx] == qu) & (ld[idx] == qd)
     return jnp.where(found, idx, -1)
+
+
+def _lower_bound_dets(list_up, list_dn, q_up, q_dn, norb: int | None = None):
+    """Insertion position (lower bound) of each query det in a sorted
+    packed det list: the count of list entries with key < query."""
+    lu = list_up[:, -1]
+    ld = list_dn[:, -1]
+    qu = q_up[:, -1]
+    qd = q_dn[:, -1]
+    n = lu.shape[0]
+    if norb is not None and norb <= 32 and list_up.shape[1] == 1:
+        lk = (lu << jnp.uint64(32)) | (ld & jnp.uint64(0xFFFFFFFF))
+        qk = (qu << jnp.uint64(32)) | (qd & jnp.uint64(0xFFFFFFFF))
+        return jnp.searchsorted(lk, qk, side="left").astype(jnp.int32)
+    lo = jnp.zeros(qu.shape, jnp.int32)
+    hi = jnp.full(qu.shape, n, jnp.int32)
+    n_iter = max(int(np.ceil(np.log2(max(n, 2)))) + 1, 1)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        mc = jnp.clip(mid, 0, n - 1)
+        a = lu[mc]
+        b_ = ld[mc]
+        less = (a < qu) | ((a == qu) & (b_ < qd))
+        go_right = less & (lo < hi)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
+    return lo
 
 
 def _lexsort_walkers(up, dn, norb: int | None = None):
@@ -798,6 +841,17 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         wt_par = wt_par.at[safe_pos].add(jnp.where(imp_pos >= 0, deltaw, 0.0))
 
     # ---------------- merge (annihilation) --------------------------------
+    if not cfg.full_sort_merge:
+        out = _two_level_merge(state, cfg, keys, alive, wt_par, diag,
+                               spawn_up, spawn_dn, spawn_wt, spawn_ok,
+                               child_imp, child_init, overflow)
+        (out_up, out_dn, out_wt, out_init, out_imp, out_diag,
+         nwalk_new, overflow) = out
+        return _finalize_step(state, tables, cfg, out_up, out_dn, out_wt,
+                              out_init, out_imp, out_diag, nwalk_new,
+                              overflow, total_spawn, spawn_wt, spawn_ok,
+                              new_key, tau, e_trial)
+
     all_up = jnp.concatenate([jnp.where(alive[:, None], state.up, jnp.uint64(SENTINEL)), spawn_up])
     all_dn = jnp.concatenate([jnp.where(alive[:, None], state.dn, jnp.uint64(SENTINEL)), spawn_dn])
     all_wt = jnp.concatenate([wt_par, spawn_wt])
@@ -905,6 +959,172 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     out_imp = jnp.full(M, 10 ** 6, jnp.int32).at[dest].set(g_imp, mode="drop")
     out_diag = jnp.full(M, 1e51).at[dest].set(g_diag, mode="drop")
 
+    return _finalize_step(state, tables, cfg, out_up, out_dn, out_wt,
+                          out_init, out_imp, out_diag, nwalk_new, overflow,
+                          total_spawn, spawn_wt, spawn_ok, new_key, tau,
+                          e_trial)
+
+
+def _initiator_update(cfg, wt, init, imp):
+    """Initiator promote/demote + keep rule + the per-code threshold
+    (ref check_initiator:6838), shared by both merge strategies."""
+    thr = cfg.r_initiator * jnp.maximum(
+        0, imp - cfg.initiator_min_distance).astype(jnp.float64) \
+        ** cfg.initiator_power
+    aw = jnp.abs(wt)
+    demote = (init == 2) & (((aw <= thr) & (imp > 0)) |
+                            ((aw <= cfg.r_initiator) & (imp == -2)))
+    promote = (init < 2) & (((aw > thr) & (imp >= 0)) |
+                            ((aw > cfg.r_initiator) & (imp == -2)))
+    init = jnp.where(demote, 1, jnp.where(promote, init + 1, init))
+    if cfg.c_t_initiator:
+        init = jnp.where(imp == -2, 3, init)
+    return init
+
+
+def _min_wt_round(cfg, key, wt, keep, imp):
+    """Stochastic min_wt rounding (ref reduce_my_walker:7196)."""
+    u = jax.random.uniform(key, wt.shape)
+    tiny = keep & (imp >= 1) & (jnp.abs(wt) < cfg.min_wt)
+    kill = tiny & (u >= jnp.abs(wt) / cfg.min_wt)
+    wt = jnp.where(tiny & ~kill, jnp.sign(wt) * cfg.min_wt, wt)
+    return wt, keep & ~kill
+
+
+def _two_level_merge(state, cfg, keys, alive, wt_par, diag, spawn_up,
+                     spawn_dn, spawn_wt, spawn_ok, child_imp, child_init,
+                     overflow):
+    """Annihilation without the big sort (ref shape:
+    merge_original_with_spawned2/3, do_walk.f90:5866,6087):
+
+      level 1: spawns whose det already EXISTS in the (sorted) walker
+               list merge in place by scatter-add/-max/-min;
+      level 2: the remaining (few) new-det spawns are compacted, sorted,
+               group-combined among themselves;
+      level 3: surviving walkers and surviving new groups interleave into
+               the output by rank (two lower-bound searches), keeping the
+               list sorted without ever sorting [M + CAP] elements.
+    """
+    M = cfg.mwalk
+    W = cfg.n_words
+    NEW = cfg.cap_new_eff
+    norb = cfg.norb
+    k_round_w, k_round_n = jax.random.split(keys[5])
+
+    # ---- level 1: hits on existing walkers --------------------------------
+    hit = _searchsorted_dets(state.up, state.dn, spawn_up, spawn_dn, norb)
+    found = spawn_ok & (hit >= 0)
+    hit_c = jnp.clip(hit, 0, M - 1)
+    # discard stochastic D->D spawns (ref merge rule :5947); D dets are
+    # always resident, so an absent target cannot be in D
+    dropDD = found & (child_imp == -1) & (state.imp[hit_c] == 0)
+    mw_wt = wt_par.at[hit_c].add(jnp.where(found & ~dropDD, spawn_wt, 0.0))
+    in_init = jnp.zeros(M, jnp.int32).at[hit_c].max(
+        jnp.where(found, child_init, 0))
+    imp_eff_child = jnp.abs(jnp.where(child_imp == -1, 1, child_imp))
+    in_imp = jnp.full(M, 10 ** 6, jnp.int32).at[hit_c].min(
+        jnp.where(found, imp_eff_child, 10 ** 6))
+    mw_init = jnp.where(alive, jnp.maximum(state.init, in_init), 0)
+    mw_imp = jnp.where(state.imp >= 1, jnp.minimum(state.imp, in_imp),
+                       state.imp)
+    mw_imp = jnp.where(alive, mw_imp, 10 ** 6)
+
+    mw_init = _initiator_update(cfg, mw_wt, mw_init, mw_imp)
+    keep_w = alive & ~(((mw_wt == 0.0) | (mw_init == 0)) & (mw_imp >= 1))
+    mw_wt, keep_w = _min_wt_round(cfg, k_round_w, mw_wt, keep_w, mw_imp)
+
+    # ---- level 2: new-det spawns ------------------------------------------
+    nf = spawn_ok & (hit < 0)
+    posn = prefix.cumsum_i32(nf.astype(jnp.int32)) - 1
+    n_nf = jnp.sum(nf).astype(jnp.int32)
+    overflow = overflow | (n_nf > NEW)     # conservative: slots, pre-dedup
+    destn = jnp.where(nf, posn, NEW)
+    nu_up = jnp.full((NEW, W), jnp.uint64(SENTINEL)).at[destn].set(
+        spawn_up, mode="drop")
+    nu_dn = jnp.full((NEW, W), jnp.uint64(SENTINEL)).at[destn].set(
+        spawn_dn, mode="drop")
+    nu_wt = jnp.zeros(NEW).at[destn].set(
+        jnp.where(nf, spawn_wt, 0.0), mode="drop")
+    nu_init = jnp.zeros(NEW, jnp.int32).at[destn].set(
+        jnp.where(nf, child_init, 0), mode="drop")
+    nu_imp = jnp.full(NEW, 10 ** 6, jnp.int32).at[destn].set(
+        jnp.where(nf, imp_eff_child, 10 ** 6), mode="drop")
+
+    if cfg.n_words == 1 and norb <= 32:
+        fusedk = (nu_up[:, 0] << jnp.uint64(32)) | nu_dn[:, 0]
+        (_, u0, d0, s_nwt, s_ninit, s_nimp) = jax.lax.sort(
+            (fusedk, nu_up[:, 0], nu_dn[:, 0], nu_wt, nu_init, nu_imp),
+            num_keys=1)
+        s_nup = u0[:, None]
+        s_ndn = d0[:, None]
+    else:
+        order = _lexsort_walkers(nu_up, nu_dn, norb)
+        s_nup = nu_up[order]
+        s_ndn = nu_dn[order]
+        s_nwt = nu_wt[order]
+        s_ninit = nu_init[order]
+        s_nimp = nu_imp[order]
+
+    neq = jnp.ones(NEW, bool)
+    neq = neq.at[1:].set(jnp.any(s_nup[1:] != s_nup[:-1], axis=1) |
+                         jnp.any(s_ndn[1:] != s_ndn[:-1], axis=1))
+    gid = prefix.cumsum_i32(neq.astype(jnp.int32)) - 1
+    valid_n = jnp.all(s_nup != jnp.uint64(SENTINEL), axis=1)
+    gn_wt = jax.ops.segment_sum(jnp.where(valid_n, s_nwt, 0.0), gid,
+                                num_segments=NEW)
+    gn_init = jax.ops.segment_max(jnp.where(valid_n, s_ninit, 0), gid,
+                                  num_segments=NEW)
+    gn_imp = jax.ops.segment_min(jnp.where(valid_n, s_nimp, 10 ** 6), gid,
+                                 num_segments=NEW)
+    gn_valid = jax.ops.segment_max(valid_n.astype(jnp.int32), gid,
+                                   num_segments=NEW) > 0
+    gn_init = _initiator_update(cfg, gn_wt, gn_init, gn_imp)
+    keep_g = gn_valid & ~((gn_wt == 0.0) | (gn_init == 0))
+    gn_wt, keep_g = _min_wt_round(cfg, k_round_n, gn_wt, keep_g, gn_imp)
+
+    # per-position flags/fields (group values at FIRST rows)
+    keep_n = neq & keep_g[jnp.clip(gid, 0, NEW - 1)]
+    n_wt_pos = gn_wt[gid]
+    n_init_pos = gn_init[gid]
+    n_imp_pos = gn_imp[gid]
+
+    # ---- level 3: rank merge of two sorted survivor lists -----------------
+    kw_i = prefix.cumsum_i32(keep_w.astype(jnp.int32))
+    kn_i = prefix.cumsum_i32(keep_n.astype(jnp.int32))
+    excl_n = jnp.concatenate([jnp.zeros(1, jnp.int32), kn_i])
+    excl_w = jnp.concatenate([jnp.zeros(1, jnp.int32), kw_i])
+
+    lo_w = _lower_bound_dets(s_nup, s_ndn, state.up, state.dn, norb)
+    pos_w = (kw_i - 1) + excl_n[jnp.clip(lo_w, 0, NEW)]
+    dest_w = jnp.where(keep_w, pos_w, M)
+
+    lo_n = _lower_bound_dets(state.up, state.dn, s_nup, s_ndn, norb)
+    pos_n = (kn_i - 1) + excl_w[jnp.clip(lo_n, 0, M)]
+    dest_n = jnp.where(keep_n, pos_n, M)
+
+    nwalk_new = (kw_i[-1] + kn_i[-1]).astype(jnp.int32)
+    overflow = overflow | (nwalk_new > M)
+
+    out_up = jnp.full((M, W), jnp.uint64(SENTINEL)).at[dest_w].set(
+        state.up, mode="drop").at[dest_n].set(s_nup, mode="drop")
+    out_dn = jnp.full((M, W), jnp.uint64(SENTINEL)).at[dest_w].set(
+        state.dn, mode="drop").at[dest_n].set(s_ndn, mode="drop")
+    out_wt = jnp.zeros(M).at[dest_w].set(mw_wt, mode="drop").at[
+        dest_n].set(n_wt_pos, mode="drop")
+    out_init = jnp.zeros(M, jnp.int32).at[dest_w].set(
+        mw_init, mode="drop").at[dest_n].set(n_init_pos, mode="drop")
+    out_imp = jnp.full(M, 10 ** 6, jnp.int32).at[dest_w].set(
+        mw_imp, mode="drop").at[dest_n].set(n_imp_pos, mode="drop")
+    out_diag = jnp.full(M, 1e51).at[dest_w].set(diag, mode="drop").at[
+        dest_n].set(jnp.full(NEW, 1e51), mode="drop")
+
+    return (out_up, out_dn, out_wt, out_init, out_imp, out_diag,
+            nwalk_new, overflow)
+
+
+def _finalize_step(state, tables, cfg, out_up, out_dn, out_wt, out_init,
+                   out_imp, out_diag, nwalk_new, overflow, total_spawn,
+                   spawn_wt, spawn_ok, new_key, tau, e_trial):
     # ---------------- reweight ---------------------------------------------
     out_wt = out_wt * state.reweight_factor_inv
 
