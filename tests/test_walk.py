@@ -25,13 +25,14 @@ def tiny():
     return sys_, res
 
 
-def test_walk_exact_deterministic_limit(tiny):
+@pytest.mark.parametrize("full_sort", [False, True])
+def test_walk_exact_deterministic_limit(tiny, full_sort):
     sys_, res = tiny
     trial = build_trial_wavefunction(sys_, eps_var=1e-9, n_psi_t=len(res.up),
                                      n_imp=len(res.up), verbose=False)
     cfg = WalkConfig(mwalk=2048, cap_spawn=4096, norb=sys_.norb, nup=2, ndn=2,
                      n_words=1, tau=5e-3, w_abs_target=500.0,
-                     has_singles=False)
+                     has_singles=False, full_sort_merge=full_sort)
     out = run_walk(sys_, trial, cfg, nstep=30, nblk=2, nblk_eq=1,
                    w_abs_begin=500.0, e_trial_initial=res.energies[0],
                    verbose=False)
