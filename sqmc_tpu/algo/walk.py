@@ -99,7 +99,7 @@ class WalkConfig:
 
     @property
     def cap_new_eff(self):
-        return self.cap_new or max(self.cap_spawn // 8, 4096)
+        return self.cap_new or max(self.cap_spawn // 4, 8192)
     axis_name: str | None = None
     n_dev: int = 1
 
@@ -1302,14 +1302,23 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
     eq_energies = []
     iblk = 0
     n_eq_planned = nblk_eq
+    # equilibration blocks run a LARGE-cap_new program variant (the growth
+    # transient creates tens of thousands of new dets per step); once
+    # equilibrated, the small-cap_new variant keeps the new-det sort tiny.
+    # Both variants share state shapes, so the swap is free at runtime
+    # (two cached compiles).
+    cfg_growth = dataclasses.replace(cfg, cap_new=cfg.cap_spawn) \
+        if not cfg.full_sort_merge else cfg
+
     while iblk < n_eq_planned + nblk:
         equil = iblk < n_eq_planned
         if not equil:
             state = state._replace(equilibrated=jnp.asarray(True))
+        cfg_blk = cfg_growth if equil else cfg
         t0 = time.time()
         if mode == "scan":
             # whole block in one device dispatch
-            state, stats = walk_block(state, tables, cfg, nstep)
+            state, stats = walk_block(state, tables, cfg_blk, nstep)
             jax.block_until_ready(state.wt)
             dt = time.time() - t0
             blk_num = float(jnp.sum(stats["e_num_gen"]))
@@ -1333,7 +1342,7 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
             # scalars per block (per-step traces are skipped in this mode -
             # every extra fetch is a round trip on high-latency links)
             for istep in range(nstep):
-                state, st_ = walk_step(state, tables, cfg)
+                state, st_ = walk_step(state, tables, cfg_blk)
             jax.block_until_ready(state.wt)
             dt = time.time() - t0
             blk_num = float(state.e_num_blk)
