@@ -65,7 +65,7 @@ def main():
     cfg = WalkConfig(mwalk=1 << 14, cap_spawn=1 << 17, norb=system.norb,
                      nup=system.nup, ndn=system.ndn, n_words=system.n_words,
                      tau=2e-3, w_abs_target=200_000.0, has_singles=True,
-                     spawn_granularity=2.0, cap_new=1 << 13)
+                     spawn_granularity=2.0)
     out = run_walk(system, trial, cfg, nstep=100, nblk=3, nblk_eq=2,
                    w_abs_begin=50_000.0, e_trial_initial=trial.e_trial,
                    verbose=True, mode="scan", max_eq_extensions=0)
