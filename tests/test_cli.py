@@ -3,6 +3,8 @@ unchanged and reproduce the golden numbers the reference's checker greps
 (src/e2e_tests/e2e_check.py patterns)."""
 
 import re
+
+import numpy as np
 import subprocess
 import sys
 import os
@@ -107,3 +109,23 @@ def test_namelist_observables_parsing():
     assert cfg.get_greens_function and cfg.n_w == 5
     assert cfg.w_min == -2.0 and cfg.w_max == 2.0
     assert cfg.active_space == (2, 2, 10)
+
+
+def test_heg_i_st_e2e():
+    """The reference's semistochastic-PT e2e input (i_st: n_mc=200,
+    eps_pt_big=8.192e-4) through the CLI; golden -0.000928741 +- 1e-5
+    (o_st_ref), checked at 5 combined sigma like e2e_check.py."""
+    out = subprocess.run(
+        [sys.executable, "-m", "sqmc_tpu", "-i",
+         "/root/reference/src/e2e_tests/heg/i_st", "--cpu"],
+        capture_output=True, text=True, cwd=REPO, timeout=560)
+    assert out.returncode == 0, out.stderr[-2000:]
+    text = out.stdout
+    m = re.search(r"Variational energy\s*=\s*([-+0-9.]+)", text)
+    assert m and abs(float(m.group(1)) - 58.276906085) < 1e-6
+    m = re.search(r"Second-order PT energy lowering\s*=\s*([-+0-9.eE]+)\s*"
+                  r"\+-\s*([0-9.eE-]+)", text)
+    assert m, text[-2000:]
+    pt, err = float(m.group(1)), float(m.group(2))
+    sigma = np.hypot(err, 9.966e-6)
+    assert abs(pt - (-0.000928741)) < 5 * sigma + 2e-5
