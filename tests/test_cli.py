@@ -129,3 +129,73 @@ def test_heg_i_st_e2e():
     pt, err = float(m.group(1)), float(m.group(2))
     sigma = np.hypot(err, 9.966e-6)
     assert abs(pt - (-0.000928741)) < 5 * sigma + 2e-5
+
+
+def test_fictitious_fixed_node_from_cards(tmp_path):
+    """run_type=fixed_node1 with importance sampling through the card CLI
+    (fixed-node energy is an upper bound; with the near-exact psi_g built
+    from the 2-det psi_t it stays within 0.2 of ED here)."""
+    text = FICTITIOUS_INPUT.replace(
+        "heat_bath2 0 1. 0 1.", "heat_bath2 1 0. 0 1.").replace(
+        "none                               run_type",
+        "fixed_node1                        run_type").replace(
+        "&hf", "&hf")  # no-op keeps structure clear
+    # importance sampling adds the psi_g card after the semistochastic one
+    text = text.replace(
+        ".false. f                          semistochastic, use_exponential_projector",
+        ".false. f                          semistochastic, use_exponential_projector\n"
+        "0. 0.                              psi_g_energy, psi_g_epsilon")
+    inp = tmp_path / "i_fn"
+    inp.write_text(text)
+    out = subprocess.run(
+        [sys.executable, "-m", "sqmc_tpu", "-i", str(inp), "--cpu"],
+        capture_output=True, text=True, cwd=REPO, timeout=560)
+    assert out.returncode == 0, out.stderr[-2000:]
+    m = re.search(r"Setting e_trial \(from diagonalizing Hamiltonian\) ="
+                  r"\s*([-+0-9.]+)", out.stdout)
+    e_exact = float(m.group(1))
+    m = re.search(r"e_mixed=\s*([-+0-9.]+)\s*\+-\s*([0-9.eE-]+)", out.stdout)
+    assert m, out.stdout[-1500:]
+    e = float(m.group(1))
+    assert e >= e_exact - 0.02      # FN upper bound (stochastic slack)
+    assert abs(e - e_exact) < 0.5
+
+
+HUBBARD_TOY_INPUT = """\
+42 7                               irand_seed
+80 6 2 0                           nstep,nblk,nblk_eq,ipr
+300 1500 0                         w_abs_gen_begin, w_abs_gen_target, MWALK
+0.3 0.                             tau_multiplier, tau
+1. 2.                              reweight_factor_inv_max_multiplier, reweight_factor_inv_max
+10. 0. 0.25                        population_control_expon, e_trial_initial, min_wt
+heat_bath2 0 1. 0 1.               proposal_method, importance_sampling, r_initiator, initiator_power, initiator_rescale_power
+none                               run_type
+.false. f                          semistochastic, use_exponential_projector
+'hubbard' 0                        hamiltonian_type,ipr
+2 2                                l_x, l_y
+t f                                pbc, neel_up_only
+1. 4.                              t, U
+1 1                                n_alpha, n_beta
+1                                  diagonalize_ham
+1                                  ndet_psi_t
+1                                  iwdet_psi_t
+1.0                                cdet_psi_t
+"""
+
+
+def test_hubbard_dense_toy_from_cards(tmp_path):
+    """The reference's dense `hubbard` toy type through the card CLI
+    (ref: hamiltonian_mod.f90:273-301)."""
+    inp = tmp_path / "i_hub"
+    inp.write_text(HUBBARD_TOY_INPUT)
+    out = subprocess.run(
+        [sys.executable, "-m", "sqmc_tpu", "-i", str(inp), "--cpu"],
+        capture_output=True, text=True, cwd=REPO, timeout=560)
+    assert out.returncode == 0, out.stderr[-2000:]
+    m = re.search(r"Setting e_trial \(from diagonalizing Hamiltonian\) ="
+                  r"\s*([-+0-9.]+)", out.stdout)
+    e_exact = float(m.group(1))
+    m = re.search(r"e_mixed=\s*([-+0-9.]+)\s*\+-\s*([0-9.eE-]+)", out.stdout)
+    assert m, out.stdout[-1500:]
+    e, err = float(m.group(1)), float(m.group(2))
+    assert abs(e - e_exact) < max(6 * err, 0.1)
