@@ -270,7 +270,7 @@ def parse_input(text: str) -> SqmcInput:
             cfg.psi_g_epsilon = float(t[1])
 
     # optional SQMC extras before the hamiltonian card
-    while not re.match(r"^['\"]?(chem|heg|hubbard|fictitious|read)\b",
+    while not re.match(r"^['\"]?(chem|heg|hubbard\w*|fictitious|read)\b",
                        lines[i].strip(), re.I):
         s = lines[i].lower()
         if "semistoch" in s:

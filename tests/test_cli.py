@@ -3,6 +3,7 @@ unchanged and reproduce the golden numbers the reference's checker greps
 (src/e2e_tests/e2e_check.py patterns)."""
 
 import re
+import pytest
 
 import numpy as np
 import subprocess
@@ -199,3 +200,33 @@ def test_hubbard_dense_toy_from_cards(tmp_path):
     assert m, out.stdout[-1500:]
     e, err = float(m.group(1)), float(m.group(2))
     assert abs(e - e_exact) < max(6 * err, 0.1)
+
+
+HUBBARDK_INPUT = """\
+9 3                                irand_seed
+hci                                run_type
+1e-9 1e-9 1e-4 1                   eps_var, eps_pt, target_error, n_states
+f                                  dump_wf_var
+'hubbardk' 0                       hamiltonian_type,ipr
+2 2                                l_x, l_y
+t f                                pbc, neel_up_only
+1. 4.                              t, U
+2 2                                n_alpha, n_beta
+"""
+
+
+def test_hubbardk_hci_from_cards(tmp_path):
+    """hubbardk card input through the CLI: tiny-eps HCI == the FCI energy
+    of the HF-connected sector."""
+    inp = tmp_path / "i_hubk"
+    inp.write_text(HUBBARDK_INPUT)
+    out = subprocess.run(
+        [sys.executable, "-m", "sqmc_tpu", "-i", str(inp), "--cpu"],
+        capture_output=True, text=True, cwd=REPO, timeout=560)
+    assert out.returncode == 0, out.stderr[-2000:]
+    m = re.search(r"Variational energy\s*=\s*([-+0-9.]+)", out.stdout)
+    assert m, out.stdout[-1500:]
+    # HF-sector ground state of 2x2 U=4 half... (1up,1dn at)**: 2up2dn:
+    # the HF-reachable FCI ground is -5.6568542 (validated in
+    # test_legacy_ci / test_walk_hubbardk_vs_fci)
+    assert float(m.group(1)) == pytest.approx(-5.6568542, abs=1e-5)

@@ -58,3 +58,19 @@ def test_davidson_vs_dense(heg):
     w = np.linalg.eigvalsh(M)
     ev, _ = davidson(H, 2)
     np.testing.assert_allclose(ev, w[:2], atol=1e-8)
+
+
+def test_heg_2d_backend():
+    """2D HEG (ref: heg.f90 n_dim=2 branch, V(t)=2pi/(L^2 |t|)): HCI runs
+    and matches exact diagonalization over its selected space."""
+    from sqmc_tpu.algo.davidson import davidson
+    heg2 = make_heg_system(2, 1.0, 4, 2, 1.5)
+    assert heg2.norb == 9
+    r = run_hci(heg2, eps_var=1e-9, eps_var_sched=[1e-9] * 20,
+                max_iters=40, verbose=False)
+    H = build_sparse_ham(heg2.table, r.up, r.dn, heg2.nup, heg2.ndn,
+                         heg2.norb)
+    evals, _ = davidson(H, n_states=1)
+    assert r.energies[0] == pytest.approx(float(evals[0]), abs=1e-9)
+    # kinetic-only HF diagonal sanity: E_var below HF energy
+    assert r.energies[0] < heg2.extra["energy_hf"] + 1e-12
