@@ -48,6 +48,13 @@ def det_owner_jnp(up: jnp.ndarray, dn: jnp.ndarray, n_dev: int) -> jnp.ndarray:
 def make_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"make_mesh({n_devices}): only {len(devs)} device(s) visible "
+                f"({[d.platform for d in devs]}). For multi-device runs "
+                "without hardware, start the process with JAX_PLATFORMS=cpu "
+                "and XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                "(see __graft_entry__.dryrun_multichip).")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), ("d",))
 
