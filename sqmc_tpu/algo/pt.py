@@ -87,7 +87,7 @@ class StochasticPTResult:
     e_tot: float
 
 
-def second_order_pt_alias(system, up, dn, wts, diag, var_energy: float,
+def second_order_pt_alias(system, up, dn, wts, var_energy: float,
                           eps_pt: float, eps_pt_big: float, n_mc: int,
                           target_error: float, pt_big: float,
                           seed: int = 0, max_samples: int = 10 ** 6,
@@ -259,7 +259,7 @@ def do_pt(system, up, dn, wts, diag, var_energy: float, eps_var: float,
         n_mc = 200
     if target_error <= 0:
         target_error = 1e-4
-    res = second_order_pt_alias(system, up, dn, wts, diag, var_energy, eps_pt,
+    res = second_order_pt_alias(system, up, dn, wts, var_energy, eps_pt,
                                 eps_pt_big, n_mc, target_error, pt_big,
                                 seed=seed, verbose=verbose)
     pt_total = pt_big + res.pt_diff

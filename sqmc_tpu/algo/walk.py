@@ -100,6 +100,16 @@ class WalkConfig:
     full_sort_merge: bool = True
     # capacity for distinct NEW determinants per step (0 = cap_spawn//8)
     cap_new: int = 0
+    # compacted-spawn capacity: valid spawns are compacted into a buffer of
+    # this size before the annihilation sort, so the sort runs at
+    # [mwalk + cap_compact] instead of [mwalk + cap_spawn] (typically
+    # 25-45% of spawn slots are dead: unused slots + occupied-target
+    # rejections).  0 = no compaction (sort at full cap_spawn).
+    cap_compact: int = 0
+
+    @property
+    def cap_compact_eff(self):
+        return min(self.cap_compact or self.cap_spawn, self.cap_spawn)
 
     @property
     def cap_new_eff(self):
@@ -121,24 +131,23 @@ N_HIST_BINS = 40
 
 
 class WalkTables(NamedTuple):
-    """Device-resident lookup tables (built once per run)."""
-    # heat-bath rows (signed values, |H|-descending) + per-row |H| prefix
-    # sums for in-row sampling, + row sums
-    same_rs: jnp.ndarray
-    same_val: jnp.ndarray
-    same_aliasJ: jnp.ndarray     # row-local alias index (in-row sampling
-    same_aliasq: jnp.ndarray     # ~ |val| in O(1); ref setup_alias)
-    same_pack: jnp.ndarray       # [ntri, 3] f64 (start, count, rowsum)
-    opp_rs: jnp.ndarray
-    opp_val: jnp.ndarray
-    opp_aliasJ: jnp.ndarray
-    opp_aliasq: jnp.ndarray
-    opp_pack: jnp.ndarray
+    """Device-resident lookup tables (built once per run).
+
+    The same-spin and opposite-spin heat-bath families are CONCATENATED
+    (opp rows offset by the same-spin totals) so the sampler's row/entry
+    gathers need no same/opp select, and per-entry fields are packed as
+    2-wide f64 rows so each logical lookup is ONE HBM gather (ref tables:
+    chemistry.f90 setup_efficient_heatbath:872/dtm_hb + setup_alias,
+    more_tools.f90:5603)."""
+    hb_rsval: jnp.ndarray        # [n_tot, 2] f64: (r*norb+s, signed value)
+    hb_alias: jnp.ndarray        # [n_tot, 2] f64: (alias q, alias J)
+    hb_pack: jnp.ndarray         # [ntri_s + ntri_o, 3] f64
+    #                              (start into concat arrays, count, rowsum)
     # singles upper-bound table (chem): U[p,r] (0 if symmetry-forbidden),
-    # row sums and in-row prefix sums
+    # row sums, and per-row alias tables for O(1) target sampling
     u_table: jnp.ndarray         # [norb, norb]
-    u_cum: jnp.ndarray           # [norb, norb] inclusive row cumsum
     u_rowsum: jnp.ndarray        # [norb]
+    u_alias: jnp.ndarray         # [norb, norb, 2] f64: (q, J) over U rows
     # Cauchy-Schwarz separable bound c[p,r] = sqrt|(pr|pr)| with per-row
     # alias tables (proposal='cauchy_schwarz')
     cs_c: jnp.ndarray            # [norb, norb]
@@ -273,7 +282,8 @@ def build_walk_tables(system, trial) -> WalkTables:
             cs_J2[p_], cs_q2[p_] = setup_alias_np(cs_c[p_] / cs_rowsum[p_])
 
     # singles bound U[p,r] = |h_pr| + sum_q (|(pr|qq)| + |(pq|qr)|),
-    # zeroed when symmetry-forbidden or p==r
+    # zeroed when symmetry-forbidden or p==r; per-row alias tables make the
+    # target-orbital draw O(1) (2 gathers) instead of a log(norb) bisection
     if system.has_singles:
         sd = np.abs(np.asarray(table.sing_dir)).sum(axis=1).reshape(norb, norb)
         se = np.abs(np.asarray(table.sing_exch)).sum(axis=1).reshape(norb, norb)
@@ -283,8 +293,13 @@ def build_walk_tables(system, trial) -> WalkTables:
         np.fill_diagonal(U, 0.0)
     else:
         U = np.zeros((norb, norb))
-    u_cum = np.cumsum(U, axis=1)
-    u_rowsum = u_cum[:, -1]
+    u_rowsum = U.sum(axis=1)
+    u_aliasJ = np.zeros((norb, norb), np.int32)
+    u_aliasq = np.ones((norb, norb))
+    for p_ in range(norb):
+        if u_rowsum[p_] > 0:
+            u_aliasJ[p_], u_aliasq[p_] = setup_alias_np(U[p_] / u_rowsum[p_])
+    u_alias = np.stack([u_aliasq, u_aliasJ.astype(np.float64)], axis=2)
 
     # row-complete symmetric COO (diag + both orientations of the stored
     # upper triangle) so the projection is a single segment-sum
@@ -294,22 +309,27 @@ def build_walk_tables(system, trial) -> WalkTables:
     c_all = np.concatenate([H.cols, H.rows, np.arange(n_imp)]).astype(np.int32)
     v_all = np.concatenate([H.vals, H.vals, H.diag])
 
-    same_pack = np.stack([np.asarray(hb.same_start, np.float64),
-                          np.asarray(hb.same_count, np.float64),
-                          s_rowsum], axis=1)
-    opp_pack = np.stack([np.asarray(hb.opp_start, np.float64),
-                         np.asarray(hb.opp_count, np.float64),
-                         o_rowsum], axis=1)
+    # concatenate the same/opp families: opp entry indices offset by
+    # n_same, opp row indices offset by ntri_s (handled at the call site)
+    n_same = len(np.asarray(hb.same_val))
+    rs_cat = np.concatenate([np.asarray(hb.same_rs, np.float64),
+                             np.asarray(hb.opp_rs, np.float64)])
+    val_cat = np.concatenate([np.asarray(hb.same_val), np.asarray(hb.opp_val)])
+    hb_rsval = np.stack([rs_cat, val_cat], axis=1)
+    hb_alias = np.stack([np.concatenate([s_q, o_q]),
+                         np.concatenate([s_J, o_J]).astype(np.float64)],
+                        axis=1)
+    hb_pack = np.concatenate([
+        np.stack([np.asarray(hb.same_start, np.float64),
+                  np.asarray(hb.same_count, np.float64), s_rowsum], axis=1),
+        np.stack([np.asarray(hb.opp_start, np.float64) + n_same,
+                  np.asarray(hb.opp_count, np.float64), o_rowsum], axis=1)])
 
     return WalkTables(
-        same_rs=hb.same_rs, same_val=hb.same_val,
-        same_aliasJ=jnp.asarray(s_J), same_aliasq=jnp.asarray(s_q),
-        same_pack=jnp.asarray(same_pack),
-        opp_rs=hb.opp_rs, opp_val=hb.opp_val,
-        opp_aliasJ=jnp.asarray(o_J), opp_aliasq=jnp.asarray(o_q),
-        opp_pack=jnp.asarray(opp_pack),
-        u_table=jnp.asarray(U), u_cum=jnp.asarray(u_cum),
-        u_rowsum=jnp.asarray(u_rowsum),
+        hb_rsval=jnp.asarray(hb_rsval), hb_alias=jnp.asarray(hb_alias),
+        hb_pack=jnp.asarray(hb_pack),
+        u_table=jnp.asarray(U), u_rowsum=jnp.asarray(u_rowsum),
+        u_alias=jnp.asarray(u_alias),
         cs_c=jnp.asarray(cs_c), cs_rowsum=jnp.asarray(cs_rowsum),
         cs_aliasJ=jnp.asarray(cs_J2), cs_aliasq=jnp.asarray(cs_q2),
         table=table,
@@ -396,77 +416,79 @@ def _binary_search_cum(cum_gather, n, target, max_n: int = 1 << 31):
     return jnp.minimum(lo, jnp.maximum(n - 1, 0))
 
 
+def _lex_less_eq(a_up, a_dn, b_up, b_dn):
+    """(a < b, a == b) under the up-major, most-significant-word-first
+    ordering, for packed [..., W] det pairs."""
+    W = a_up.shape[-1]
+    lt = jnp.zeros(a_up.shape[:-1], bool)
+    eq = jnp.ones(a_up.shape[:-1], bool)
+    for arr_a, arr_b in ((a_up, b_up), (a_dn, b_dn)):
+        for w in range(W - 1, -1, -1):
+            aw = arr_a[..., w]
+            bw = arr_b[..., w]
+            lt = lt | (eq & (aw < bw))
+            eq = eq & (aw == bw)
+    return lt, eq
+
+
 def _searchsorted_dets(list_up, list_dn, q_up, q_dn, norb: int | None = None):
     """Index of each query det in a sorted packed det list, -1 if absent.
     Works on the most-significant-word-first fused ordering used by
-    setalg.sort (W=1 fast path: two uint64 keys).  With norb <= 32 the
-    two halves fuse into ONE uint64 key and the lookup is a single
-    jnp.searchsorted (the cheapest lowering)."""
-    # build comparable u64 pairs; for W=1 compare (up, dn) lexicographically
-    lu = list_up[:, -1]  # most significant word (W=1: the only word)
-    ld = list_dn[:, -1]
-    qu = q_up[:, -1]
-    qd = q_dn[:, -1]
-    n = lu.shape[0]
+    setalg.sort.  With norb <= 32 the two halves fuse into ONE uint64 key
+    and the lookup is a single jnp.searchsorted (the cheapest lowering);
+    otherwise a bisection comparing all 2W words."""
+    n = list_up.shape[0]
     if norb is not None and norb <= 32 and list_up.shape[1] == 1:
+        lu = list_up[:, 0]
+        ld = list_dn[:, 0]
+        qu = q_up[:, 0]
+        qd = q_dn[:, 0]
         lk = (lu << jnp.uint64(32)) | (ld & jnp.uint64(0xFFFFFFFF))
         qk = (qu << jnp.uint64(32)) | (qd & jnp.uint64(0xFFFFFFFF))
         idx = jnp.clip(jnp.searchsorted(lk, qk), 0, n - 1).astype(jnp.int32)
         return jnp.where(lk[idx] == qk, idx, -1)
 
-    def cum(i):
-        i_c = jnp.clip(i, 0, n - 1)
-        a = lu[i_c]
-        b = ld[i_c]
-        return a, b
-
-    lo = jnp.zeros(qu.shape, jnp.int32)
-    hi = jnp.full(qu.shape, n, jnp.int32)
+    lo = jnp.zeros(q_up.shape[:1], jnp.int32)
+    hi = jnp.full(q_up.shape[:1], n, jnp.int32)
     n_iter = max(int(np.ceil(np.log2(max(n, 2)))) + 1, 1)
 
-    def body(_, lohi):
+    def body2(_, lohi):
         lo, hi = lohi
         mid = (lo + hi) // 2
-        a, b_ = cum(mid)
-        less = (a < qu) | ((a == qu) & (b_ < qd))
+        mc = jnp.clip(mid, 0, n - 1)
+        less, _ = _lex_less_eq(list_up[mc], list_dn[mc], q_up, q_dn)
         go_right = less & (lo < hi)
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-        return lo, hi
+        return (jnp.where(go_right, mid + 1, lo),
+                jnp.where(go_right, hi, mid))
 
-    lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
+    lo, hi = jax.lax.fori_loop(0, n_iter, body2, (lo, hi))
     idx = jnp.clip(lo, 0, n - 1)
-    found = (lu[idx] == qu) & (ld[idx] == qd)
+    _, found = _lex_less_eq(list_up[idx], list_dn[idx], q_up, q_dn)
     return jnp.where(found, idx, -1)
 
 
 def _lower_bound_dets(list_up, list_dn, q_up, q_dn, norb: int | None = None):
     """Insertion position (lower bound) of each query det in a sorted
     packed det list: the count of list entries with key < query."""
-    lu = list_up[:, -1]
-    ld = list_dn[:, -1]
-    qu = q_up[:, -1]
-    qd = q_dn[:, -1]
-    n = lu.shape[0]
+    n = list_up.shape[0]
     if norb is not None and norb <= 32 and list_up.shape[1] == 1:
-        lk = (lu << jnp.uint64(32)) | (ld & jnp.uint64(0xFFFFFFFF))
-        qk = (qu << jnp.uint64(32)) | (qd & jnp.uint64(0xFFFFFFFF))
+        lk = (list_up[:, 0] << jnp.uint64(32)) | \
+            (list_dn[:, 0] & jnp.uint64(0xFFFFFFFF))
+        qk = (q_up[:, 0] << jnp.uint64(32)) | \
+            (q_dn[:, 0] & jnp.uint64(0xFFFFFFFF))
         return jnp.searchsorted(lk, qk, side="left").astype(jnp.int32)
-    lo = jnp.zeros(qu.shape, jnp.int32)
-    hi = jnp.full(qu.shape, n, jnp.int32)
+    lo = jnp.zeros(q_up.shape[:1], jnp.int32)
+    hi = jnp.full(q_up.shape[:1], n, jnp.int32)
     n_iter = max(int(np.ceil(np.log2(max(n, 2)))) + 1, 1)
 
     def body(_, lohi):
         lo, hi = lohi
         mid = (lo + hi) // 2
         mc = jnp.clip(mid, 0, n - 1)
-        a = lu[mc]
-        b_ = ld[mc]
-        less = (a < qu) | ((a == qu) & (b_ < qd))
+        less, _ = _lex_less_eq(list_up[mc], list_dn[mc], q_up, q_dn)
         go_right = less & (lo < hi)
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-        return lo, hi
+        return (jnp.where(go_right, mid + 1, lo),
+                jnp.where(go_right, hi, mid))
 
     lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
     return lo
@@ -555,14 +577,12 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
 
     a_p = jnp.minimum(p_pair, q_pair)
     b_p = jnp.maximum(p_pair, q_pair)
-    row_same = tri_lt(a_p, b_p)
-    row_opp = tri_le(a_p, b_p)
+    ntri_s = norb * (norb - 1) // 2
     is_opp = kind_pair == 2
-    # one packed row-gather per family instead of 3 separate gathers each
+    # ONE packed row-gather over the concatenated same/opp row table
     # (start/count/rowsum packed as f64 rows; exact below 2^53)
-    pk_same = tables.same_pack[row_same]          # [M, npairs, 3]
-    pk_opp = tables.opp_pack[row_opp]
-    pk = jnp.where(is_opp[:, :, None], pk_opp, pk_same)
+    row_cat = jnp.where(is_opp, ntri_s + tri_le(a_p, b_p), tri_lt(a_p, b_p))
+    pk = tables.hb_pack[row_cat]                  # [M, npairs, 3]
     pr_start = pk[:, :, 0].astype(jnp.int32)
     pr_count = pk[:, :, 1].astype(jnp.int32)
     pr_rowsum = pk[:, :, 2]
@@ -586,7 +606,10 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     p_single = jnp.where(Utot + W2tot > 0, Utot / (Utot + W2tot), 0.0)
 
     # ---------------- spawn slot allocation -------------------------------
-    u_spawn = jax.random.uniform(keys[1], (M,))
+    # one fused uniform draw for the parent-level + all four per-slot
+    # streams (one PRNG dispatch instead of five)
+    u_all = jax.random.uniform(keys[1], (M + 4 * CAP,))
+    u_spawn = u_all[:M]
     g = cfg.spawn_granularity
     small = absw < cfg.always_spawn_cutoff * g
     do_spawn_small = u_spawn < absw / (cfg.always_spawn_cutoff * g)
@@ -615,9 +638,9 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     overflow = total_spawn > CAP
 
     # ---------------- per-slot proposal -----------------------------------
-    ub = jax.random.uniform(keys[2], (CAP,))   # branch
-    up_ = jax.random.uniform(keys[3], (CAP,))  # pair / electron select
-    ue = jax.random.uniform(keys[4], (CAP,))   # entry / orbital select
+    ub = u_all[M:M + CAP]                       # branch
+    up_ = u_all[M + CAP:M + 2 * CAP]            # pair / electron select
+    ue = u_all[M + 2 * CAP:M + 3 * CAP]         # entry / orbital select
 
     b = parent
     if cfg.has_singles:
@@ -626,10 +649,14 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         take_single = jnp.zeros(CAP, bool)
 
     # ---- doubles path ----
+    # pair ~ row weights: gather the parent's [npairs] cumulative row once
+    # and count entries <= target (one contiguous-row gather instead of a
+    # log2(npairs)-deep bisection of scattered gathers)
     targ = up_ * W2tot[b]
-    pair_i = _binary_search_cum(lambda m: pair_cum[b, jnp.clip(m, 0, npairs - 1)],
-                                jnp.full(CAP, npairs, jnp.int32), targ,
-                                max_n=npairs)
+    pair_rows = jnp.take(pair_cum, b, axis=0)              # [CAP, npairs]
+    pair_i = jnp.minimum(
+        jnp.sum(pair_rows <= targ[:, None], axis=1).astype(jnp.int32),
+        npairs - 1)
     pp = p_pair[b, pair_i]
     qq = q_pair[b, pair_i]
     kk = kind_pair[b, pair_i]
@@ -638,33 +665,28 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     ct = pr_count[b, pair_i]
     rsum = pr_rowsum[b, pair_i]
 
-    ua2 = jax.random.uniform(keys[6], (CAP,))
+    ua2 = u_all[M + 3 * CAP:]
     extra_fail = jnp.zeros(CAP, bool)
     p_rs = jnp.ones(CAP)          # in-row proposal probability (non-hb)
     val_tab = jnp.zeros(CAP)
     if cfg.proposal == "fast_heatbath":
         # O(1) in-row target draw ~ |H| via per-row alias tables (ref:
         # setup_alias/sample_alias, more_tools.f90:5603,5665): uniform
-        # slot, then accept-or-alias - 2 gathers instead of a
-        # log(row)-deep bisection of batched HBM gathers
-        n_same = tables.same_aliasq.shape[0]
-        n_oppf = tables.opp_aliasq.shape[0]
+        # slot, then accept-or-alias.  The same/opp families are
+        # concatenated and (q,J)/(rs,val) packed 2-wide, so the draw is
+        # exactly TWO HBM gathers with no same/opp select.
+        n_cat = tables.hb_alias.shape[0]
         slot = jnp.minimum((ue * ct).astype(jnp.int32),
                            jnp.maximum(ct - 1, 0))
-        i0 = st + slot
-        q_al = jnp.where(opp, tables.opp_aliasq[jnp.clip(i0, 0, n_oppf - 1)],
-                         tables.same_aliasq[jnp.clip(i0, 0, n_same - 1)])
-        J_al = jnp.where(opp, tables.opp_aliasJ[jnp.clip(i0, 0, n_oppf - 1)],
-                         tables.same_aliasJ[jnp.clip(i0, 0, n_same - 1)])
-        rank = jnp.where(ua2 < q_al, slot, J_al)
-        idx = st + rank
-        rs = jnp.where(opp, tables.opp_rs[jnp.clip(idx, 0, n_oppf - 1)],
-                       tables.same_rs[jnp.clip(idx, 0, n_same - 1)])
-        val_tab = jnp.where(opp,
-                            tables.opp_val[jnp.clip(idx, 0, n_oppf - 1)],
-                            tables.same_val[jnp.clip(idx, 0, n_same - 1)])
-        r_tab = (rs // norb).astype(jnp.int32)
-        s_tab = (rs % norb).astype(jnp.int32)
+        i0 = jnp.clip(st + slot, 0, n_cat - 1)
+        aq = tables.hb_alias[i0]                          # [CAP, 2]
+        rank = jnp.where(ua2 < aq[:, 0], slot,
+                         aq[:, 1].astype(jnp.int32))
+        rv = tables.hb_rsval[jnp.clip(st + rank, 0, n_cat - 1)]   # [CAP, 2]
+        rs = rv[:, 0].astype(jnp.int32)
+        val_tab = rv[:, 1]
+        r_tab = rs // norb
+        s_tab = rs % norb
         sw = opp & (pp > qq)
         r = jnp.where(sw, s_tab, r_tab)
         s = jnp.where(sw, r_tab, s_tab)
@@ -706,30 +728,23 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
                                 dets.get_orb(dn_w, s)))
     dbl_ok = ~(r_occ | s_occ)
 
-    # fermion sign via prefix parity (same scheme as connect.emit_doubles)
-    pref_up = prefix.cumsum_rows(bits_up.astype(jnp.int32))
-    pref_up = jnp.concatenate([jnp.zeros((M, 1), jnp.int32), pref_up], axis=1)
-    pref_dn = prefix.cumsum_rows(bits_dn.astype(jnp.int32))
-    pref_dn = jnp.concatenate([jnp.zeros((M, 1), jnp.int32), pref_dn], axis=1)
-
+    # fermion sign: occupied-count windows by mask-table AND + popcount
+    # (no per-det prefix tables, no 2-D gathers; ref permutation factors
+    # tools.f90:1294,1342)
     def in_window(x, a_pos, b_pos):
         lo_ = jnp.minimum(a_pos, b_pos)
         hi_ = jnp.maximum(a_pos, b_pos)
         return ((x >= lo_) & (x < hi_)).astype(jnp.int32)
 
-    def wc(pref, a_pos, b_pos):
-        lo_ = jnp.minimum(a_pos, b_pos)
-        hi_ = jnp.maximum(a_pos, b_pos)
-        return pref[b, hi_] - pref[b, lo_]
-
     same_up_k = kk == 0
-    wc_same = jnp.where(same_up_k, wc(pref_up, pp, r), wc(pref_dn, pp, r))
-    wc_same2 = jnp.where(same_up_k, wc(pref_up, qq, s), wc(pref_dn, qq, s))
+    words_same = jnp.where(same_up_k[:, None], up_w, dn_w)
+    wc_same = dets.count_below(words_same, pp, r)
+    wc_same2 = dets.count_below(words_same, qq, s)
     c1 = wc_same - in_window(pp, pp, r) - in_window(qq, pp, r)
     c2 = wc_same2 - in_window(pp, qq, s) - in_window(qq, qq, s)
     gamma_same = jnp.where((c1 + c2) % 2 == 0, 1.0, -1.0)
-    cu_ = wc(pref_up, pp, r) - in_window(pp, pp, r)
-    cd_ = wc(pref_dn, qq, s) - in_window(qq, qq, s)
+    cu_ = dets.count_below(up_w, pp, r) - in_window(pp, pp, r)
+    cd_ = dets.count_below(dn_w, qq, s) - in_window(qq, qq, s)
     gamma_opp = jnp.where((cu_ + cd_) % 2 == 0, 1.0, -1.0)
     if cfg.proposal != "fast_heatbath":
         # exact element from integrals: same-spin (pr|qs)-(ps|qr),
@@ -767,22 +782,30 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     if cfg.has_singles:
         occ_all = jnp.concatenate([occ_up, occ_dn], axis=1)   # [M, nelec]
         targ_s = up_ * Utot[b]
-        e_i = _binary_search_cum(lambda m: sing_cum[b, jnp.clip(m, 0, nelec - 1)],
-                                 jnp.full(CAP, nelec, jnp.int32), targ_s,
-                                 max_n=nelec)
+        sing_rows = jnp.take(sing_cum, b, axis=0)             # [CAP, nelec]
+        e_i = jnp.minimum(
+            jnp.sum(sing_rows <= targ_s[:, None], axis=1).astype(jnp.int32),
+            nelec - 1)
         p_s = occ_all[b, e_i]
         e_up = e_i < nup
-        targ_r = ue * tables.u_rowsum[p_s]
-        r_s = _binary_search_cum(lambda m: tables.u_cum[p_s, jnp.clip(m, 0, norb - 1)],
-                                 jnp.full(CAP, norb, jnp.int32), targ_r,
-                                 max_n=norb)
-        r_s = r_s.astype(jnp.int32)
+        # target orbital ~ U[p_s, :] via per-row alias (ue: slot, ua2:
+        # accept - ua2 is reused from the doubles branch; each slot takes
+        # exactly one branch so the streams never interact)
+        slot_r = jnp.minimum((ue * norb).astype(jnp.int32), norb - 1)
+        aq_s = tables.u_alias[p_s, slot_r]                # [CAP, 2]
+        r_s = jnp.where(ua2 < aq_s[:, 0], slot_r,
+                        aq_s[:, 1].astype(jnp.int32))
         r_s_occ = jnp.where(e_up, bits_up[b, r_s] != 0, bits_dn[b, r_s] != 0)
-        # exact single element
+        # exact single element; sign by mask-window popcount on the packed
+        # words (bits strictly between p and r; p itself is occupied)
         bits_same_sl = jnp.where(e_up[:, None], bits_up[b], bits_dn[b])
         bits_other_sl = jnp.where(e_up[:, None], bits_dn[b], bits_up[b])
-        h_sng = slater.single_element(tables.table, bits_same_sl,
-                                      bits_other_sl, p_s, r_s)
+        words_same_s = jnp.where(e_up[:, None], up_w, dn_w)
+        n_btw = dets.count_below(words_same_s, p_s, r_s) - \
+            (p_s < r_s).astype(jnp.int32)
+        sgn_s = jnp.where(n_btw % 2 == 0, 1.0, -1.0)
+        h_sng = sgn_s * slater.single_element_no_sign(
+            tables.table, bits_same_sl, bits_other_sl, p_s, r_s)
         p_sel_sng = p_single[b] * tables.u_table[p_s, r_s] / jnp.maximum(Utot[b], 1e-300)
         w_sng = -tau * h_sng / jnp.maximum(p_sel_sng, 1e-300)
         moved_up = dets.set_orb(dets.clear_orb(up_w, p_s), r_s)
@@ -856,117 +879,159 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
                               overflow, total_spawn, spawn_wt, spawn_ok,
                               new_key, tau, e_trial)
 
-    all_up = jnp.concatenate([jnp.where(alive[:, None], state.up, jnp.uint64(SENTINEL)), spawn_up])
-    all_dn = jnp.concatenate([jnp.where(alive[:, None], state.dn, jnp.uint64(SENTINEL)), spawn_dn])
-    all_wt = jnp.concatenate([wt_par, spawn_wt])
-    all_init = jnp.concatenate([jnp.where(alive, state.init, 0), child_init])
-    all_imp = jnp.concatenate([jnp.where(alive, state.imp, 10 ** 6), child_imp])
-    all_diag = jnp.concatenate([diag, jnp.full(CAP, 1e51)])
-    is_entry = jnp.concatenate([alive, spawn_ok])
-
-    if cfg.n_words == 1 and cfg.norb <= 32:
-        # one variadic key-value sort: key + every payload move together,
-        # no permutation gathers (cheapest TPU lowering)
-        fused = (all_up[:, 0] << jnp.uint64(32)) | all_dn[:, 0]
-        (_, u0, d0, s_wt, s_init, s_imp, s_diag, s_is) = jax.lax.sort(
-            (fused, all_up[:, 0], all_dn[:, 0], all_wt, all_init, all_imp,
-             all_diag, is_entry), num_keys=1)
-        s_up = u0[:, None]
-        s_dn = d0[:, None]
-    else:
-        order = _lexsort_walkers(all_up, all_dn, cfg.norb)
-        s_up = all_up[order]
-        s_dn = all_dn[order]
-        s_wt = all_wt[order]
-        s_init = all_init[order]
-        s_imp = all_imp[order]
-        s_diag = all_diag[order]
-        s_is = is_entry[order]
-
-    N = M + CAP
-    neq = jnp.ones(N, bool)
-    neq = neq.at[1:].set(jnp.any(s_up[1:] != s_up[:-1], axis=1) |
-                         jnp.any(s_dn[1:] != s_dn[:-1], axis=1))
-    gid = prefix.cumsum_i32(neq.astype(jnp.int32)) - 1
-    n_groups = gid[-1] + 1
-
-    # D-space membership of each entry's det (for the -1 discard rule and
-    # imp codes); C(T) membership for imp=-2.  D dets are ALWAYS resident
-    # in the walker list with imp==0 (seeded at init, never dropped by the
-    # keep rule below), so membership is a per-group reduction - no det
-    # search needed.
-    if cfg.semistochastic and n_imp > 0:
-        g_has_D = jax.ops.segment_max(
-            jnp.where(s_is & (s_imp == 0), 1, 0), gid, num_segments=N) > 0
-        in_D = g_has_D[jnp.clip(gid, 0, N - 1)]
-    else:
-        g_has_D = jnp.zeros(N, bool)
-        in_D = jnp.zeros(N, bool)
-
-    # discard stochastic D->D spawns (ref merge rule :5947)
-    drop = (s_imp == -1) & in_D
-    wt_contrib = jnp.where(s_is & ~drop, s_wt, 0.0)
-
-    g_wt = jax.ops.segment_sum(wt_contrib, gid, num_segments=N)
-    g_init = jax.ops.segment_max(jnp.where(s_is, s_init, 0), gid, num_segments=N)
-    imp_eff = jnp.where(s_imp == -1, 1, s_imp)
-    has_m2 = jax.ops.segment_max(jnp.where(s_is & (s_imp == -2), 1, 0), gid,
-                                 num_segments=N)
-    g_imp_min = jax.ops.segment_min(jnp.where(s_is, jnp.abs(imp_eff), 10 ** 6),
-                                    gid, num_segments=N)
-    g_diag = jax.ops.segment_min(jnp.where(s_is, s_diag, 1e51), gid,
-                                 num_segments=N)
-    # the group's det = the first sorted row of the group
-    first_idx = jax.ops.segment_min(
-        jnp.arange(N, dtype=jnp.int32), gid, num_segments=N)
-    first_idx = jnp.clip(first_idx, 0, N - 1)
-    g_up = s_up[first_idx]
-    g_dn = s_dn[first_idx]
-    g_in_D = g_has_D
-    g_valid = jax.ops.segment_max(s_is.astype(jnp.int32), gid, num_segments=N) > 0
-
-    g_imp = jnp.where(g_in_D, 0, jnp.where(has_m2 > 0, -2, g_imp_min))
-
-    # initiator threshold update (ref check_initiator:6838)
-    thr = cfg.r_initiator * jnp.maximum(
-        0, g_imp - cfg.initiator_min_distance).astype(jnp.float64) ** cfg.initiator_power
-    absg = jnp.abs(g_wt)
-    demote = (g_init == 2) & (((absg <= thr) & (g_imp > 0)) |
-                              ((absg <= cfg.r_initiator) & (g_imp == -2)))
-    promote = (g_init < 2) & (((absg > thr) & (g_imp >= 0)) |
-                              ((absg > cfg.r_initiator) & (g_imp == -2)))
-    g_init = jnp.where(demote, 1, jnp.where(promote, g_init + 1, g_init))
-    if cfg.c_t_initiator:
-        # C(T) dets are permanent initiators (ref: c_t_initiator)
-        g_init = jnp.where(g_imp == -2, 3, g_init)
-
-    keep = g_valid & ~(((g_wt == 0.0) | (g_init == 0)) & (g_imp >= 1))
-
-    # ---------------- stochastic min_wt rounding (reduce_my_walker) -------
-    u_red = jax.random.uniform(keys[5], (N,))
-    tiny = keep & (g_imp >= 1) & (jnp.abs(g_wt) < cfg.min_wt)
-    kill = tiny & (u_red >= jnp.abs(g_wt) / cfg.min_wt)
-    g_wt = jnp.where(tiny & ~kill, jnp.sign(g_wt) * cfg.min_wt, g_wt)
-    keep = keep & ~kill
-
-    # ---------------- compact to [M] ---------------------------------------
-    pos = prefix.cumsum_i32(keep.astype(jnp.int32)) - 1
-    nwalk_new = jnp.sum(keep).astype(jnp.int32)
-    overflow = overflow | (nwalk_new > M)
-    # out-of-range destinations are dropped by scatter mode="drop"
-    dest = jnp.where(keep, pos, M)
-
-    out_up = jnp.full((M, W), jnp.uint64(SENTINEL)).at[dest].set(g_up, mode="drop")
-    out_dn = jnp.full((M, W), jnp.uint64(SENTINEL)).at[dest].set(g_dn, mode="drop")
-    out_wt = jnp.zeros(M).at[dest].set(g_wt, mode="drop")
-    out_init = jnp.zeros(M, jnp.int32).at[dest].set(g_init, mode="drop")
-    out_imp = jnp.full(M, 10 ** 6, jnp.int32).at[dest].set(g_imp, mode="drop")
-    out_diag = jnp.full(M, 1e51).at[dest].set(g_diag, mode="drop")
-
+    out = _full_sort_merge(state, cfg, keys[5], alive, wt_par, diag,
+                           spawn_up, spawn_dn, spawn_wt, spawn_ok,
+                           child_imp, child_init, overflow)
+    (out_up, out_dn, out_wt, out_init, out_imp, out_diag,
+     nwalk_new, overflow) = out
     return _finalize_step(state, tables, cfg, out_up, out_dn, out_wt,
                           out_init, out_imp, out_diag, nwalk_new, overflow,
                           total_spawn, spawn_wt, spawn_ok, new_key, tau,
                           e_trial)
+
+
+def _full_sort_merge(state, cfg, key_red, alive, wt_par, diag,
+                     spawn_up, spawn_dn, spawn_wt, spawn_ok,
+                     child_imp, child_init, overflow):
+    """Annihilation by one slim variadic sort (ref:
+    merge_original_with_spawned2/3, do_walk.f90:5866,6087).
+
+    Three ideas keep the sort cheap:
+      * entries carry only (key words, weight, packed flags) - up/dn are
+        recovered FROM the key, validity is derived from key != sentinel,
+        and the diagonal cache is re-attached afterwards by one bisection
+        into the previous (sorted) walker list;
+      * valid spawns are optionally compacted into cap_compact slots first
+        (the dead 25-45% of cap_spawn never enters the sort);
+      * the group reductions collapse to THREE segment ops: a weight sum,
+        an initiator max, and one priority min whose encoding
+        (D=0 < C(T)=1 < transient-D-spawn=2 < distance d=d+1 < invalid)
+        yields membership, the merged imp code, and group validity at once
+        (ref merge rules do_walk.f90:5898-5960, check_initiator:6838).
+    """
+    M = cfg.mwalk
+    CAP = cfg.cap_spawn
+    W = cfg.n_words
+    norb = cfg.norb
+    CAPC = cfg.cap_compact_eff
+    fused32 = (W == 1 and norb <= 32)
+    nk = 1 if fused32 else 2 * W
+
+    def pack_flags(imp, init, valid):
+        code = jnp.clip(imp, -2, 129).astype(jnp.int32) + 2
+        code = jnp.where(valid, code, 131)
+        return (code << 2) | jnp.where(valid, init, 0)
+
+    flags_w = pack_flags(state.imp, state.init, alive)
+    flags_s = pack_flags(child_imp, child_init, spawn_ok)
+
+    # key words, most significant first, up-major (the order every sorted
+    # walker structure in the framework uses)
+    SENT = jnp.uint64(SENTINEL)
+    if fused32:
+        wkeys = [jnp.where(alive, (state.up[:, 0] << jnp.uint64(32)) |
+                           state.dn[:, 0], SENT)]
+        skeys = [jnp.where(spawn_ok, (spawn_up[:, 0] << jnp.uint64(32)) |
+                           spawn_dn[:, 0], SENT)]
+    else:
+        wkeys = ([jnp.where(alive, state.up[:, w], SENT)
+                  for w in range(W - 1, -1, -1)] +
+                 [jnp.where(alive, state.dn[:, w], SENT)
+                  for w in range(W - 1, -1, -1)])
+        skeys = ([jnp.where(spawn_ok, spawn_up[:, w], SENT)
+                  for w in range(W - 1, -1, -1)] +
+                 [jnp.where(spawn_ok, spawn_dn[:, w], SENT)
+                  for w in range(W - 1, -1, -1)])
+
+    s_wt_in = jnp.where(spawn_ok, spawn_wt, 0.0)
+    if CAPC < CAP:
+        cpos = prefix.cumsum_i32(spawn_ok.astype(jnp.int32)) - 1
+        overflow = overflow | (cpos[-1] + 1 > CAPC)
+        sdest = jnp.where(spawn_ok, cpos, CAPC)
+        skeys = [jnp.full(CAPC, SENT).at[sdest].set(k, mode="drop")
+                 for k in skeys]
+        s_wt_in = jnp.zeros(CAPC).at[sdest].set(s_wt_in, mode="drop")
+        flags_s = jnp.full(CAPC, 131 << 2, jnp.int32).at[sdest].set(
+            flags_s, mode="drop")
+
+    N = M + CAPC
+    all_keys = tuple(jnp.concatenate([a, b]) for a, b in zip(wkeys, skeys))
+    all_wt = jnp.concatenate([wt_par, s_wt_in])
+    all_flags = jnp.concatenate([flags_w, flags_s])
+
+    sorted_ = jax.lax.sort((*all_keys, all_wt, all_flags), num_keys=nk)
+    s_keys = sorted_[:nk]
+    s_wt = sorted_[nk]
+    s_flags = sorted_[nk + 1]
+
+    neq_t = s_keys[0][1:] != s_keys[0][:-1]
+    for k in s_keys[1:]:
+        neq_t = neq_t | (k[1:] != k[:-1])
+    neq = jnp.ones(N, bool).at[1:].set(neq_t)
+    gid = prefix.cumsum_i32(neq.astype(jnp.int32)) - 1
+
+    code = s_flags >> 2
+    init_row = s_flags & 3
+    # priority value per row: 0=D resident, 1=C(T), 2=transient D-spawn
+    # (distance 1), d+1 for distance-d rows, 130=invalid
+    u = jnp.where(code == 2, 0,
+                  jnp.where(code == 0, 1,
+                            jnp.where(code == 1, 2, code - 1)))
+    g_u = jax.ops.segment_min(u, gid, num_segments=N,
+                              indices_are_sorted=True)
+    in_D = g_u[gid] == 0
+    # discard stochastic D->D spawns (ref merge rule :5947)
+    drop = (code == 1) & in_D
+    g_wt = jax.ops.segment_sum(jnp.where(drop, 0.0, s_wt), gid,
+                               num_segments=N, indices_are_sorted=True)
+    g_init = jax.ops.segment_max(init_row, gid, num_segments=N,
+                                 indices_are_sorted=True)
+
+    g_valid = g_u <= 127
+    g_imp = jnp.where(g_u == 0, 0,
+                      jnp.where(g_u == 1, -2, g_u - 1)).astype(jnp.int32)
+
+    g_init = _initiator_update(cfg, g_wt, g_init, g_imp)
+    keep = g_valid & ~(((g_wt == 0.0) | (g_init == 0)) & (g_imp >= 1))
+    g_wt, keep = _min_wt_round(cfg, key_red, g_wt, keep, g_imp)
+
+    # ---------------- compact to [M] ---------------------------------------
+    # group-space scatters for the merged payloads; the KEYS compact from
+    # row space (first row of each kept group) so the group keys are never
+    # materialized (u64 scatters emulate to paired u32 scatters - the most
+    # expensive ops in the merge)
+    pos = prefix.cumsum_i32(keep.astype(jnp.int32)) - 1
+    nwalk_new = (pos[-1] + 1).astype(jnp.int32)
+    overflow = overflow | (nwalk_new > M)
+    dest = jnp.where(keep, pos, M)   # out-of-range dropped by mode="drop"
+
+    row_keep = neq & keep[gid]
+    dest_row = jnp.where(row_keep, pos[gid], M)
+    out_keys = [jnp.full(M, SENT).at[dest_row].set(k, mode="drop")
+                for k in s_keys]
+    out_wt = jnp.zeros(M).at[dest].set(g_wt, mode="drop")
+    out_init = jnp.zeros(M, jnp.int32).at[dest].set(g_init, mode="drop")
+    out_imp = jnp.full(M, 10 ** 6, jnp.int32).at[dest].set(g_imp, mode="drop")
+
+    if fused32:
+        k = out_keys[0]
+        sent = k == SENT
+        out_up = jnp.where(sent, SENT, k >> jnp.uint64(32))[:, None]
+        out_dn = jnp.where(sent, SENT,
+                           k & jnp.uint64(0xFFFFFFFF))[:, None]
+    else:
+        out_up = jnp.stack([out_keys[W - 1 - w] for w in range(W)], axis=1)
+        out_dn = jnp.stack([out_keys[2 * W - 1 - w] for w in range(W)],
+                           axis=1)
+
+    # re-attach the diagonal cache: dets that survived the merge keep their
+    # previous diagonal (one log2(M) bisection; spawns start unknown)
+    idx_old = _searchsorted_dets(state.up, state.dn, out_up, out_dn, norb)
+    out_diag = jnp.where(idx_old >= 0,
+                         diag[jnp.clip(idx_old, 0, M - 1)], 1e51)
+
+    return (out_up, out_dn, out_wt, out_init, out_imp, out_diag,
+            nwalk_new, overflow)
 
 
 def _initiator_update(cfg, wt, init, imp):

@@ -110,30 +110,72 @@ def occ_orbitals(bits: jnp.ndarray, n_elec: int) -> jnp.ndarray:
     return order[..., :n_elec].astype(jnp.int32)
 
 
+@functools.lru_cache(maxsize=16)
+def _orb_bit_np(W: int) -> np.ndarray:
+    """[W*64, W] uint64 table: row o = the packed word mask of orbital o.
+
+    TPU has no native 64-bit integers; a variable-amount uint64 shift
+    emulates to a long select chain per element, which made the spawn
+    det construction compute-bound (~10^4 model flops per spawn slot).
+    A gather from this tiny constant table replaces the shift entirely."""
+    n = W * BITS_PER_WORD
+    t = np.zeros((n, W), np.uint64)
+    for o in range(n):
+        t[o, o // BITS_PER_WORD] = np.uint64(1) << np.uint64(o % BITS_PER_WORD)
+    return t
+
+
+@functools.lru_cache(maxsize=16)
+def _maskr_np(W: int) -> np.ndarray:
+    """[W*64+1, W] uint64 table: row x = mask of all bit positions < x
+    (the `maskr` of the reference, overload.f90; used for popcount-based
+    fermion-sign windows)."""
+    n = W * BITS_PER_WORD
+    t = np.zeros((n + 1, W), np.uint64)
+    acc = np.zeros(W, np.uint64)
+    for x in range(1, n + 1):
+        o = x - 1
+        acc = acc.copy()
+        acc[o // BITS_PER_WORD] |= np.uint64(1) << np.uint64(o % BITS_PER_WORD)
+        t[x] = acc
+    return t
+
+
+def orb_bit(W: int) -> jnp.ndarray:
+    return jnp.asarray(_orb_bit_np(W))
+
+
+def maskr_table(W: int) -> jnp.ndarray:
+    return jnp.asarray(_maskr_np(W))
+
+
 def set_orb(words: jnp.ndarray, orb: jnp.ndarray) -> jnp.ndarray:
     """Set bit `orb` ([...] int32) in packed words [..., W]."""
-    W = words.shape[-1]
-    widx = jnp.arange(W, dtype=jnp.int32)
-    word_of = (orb[..., None] // BITS_PER_WORD) == widx
-    bit = jnp.uint64(1) << (orb[..., None].astype(jnp.uint64) % BITS_PER_WORD)
-    return words | jnp.where(word_of, bit, jnp.uint64(0))
+    return words | orb_bit(words.shape[-1])[orb]
 
 
 def clear_orb(words: jnp.ndarray, orb: jnp.ndarray) -> jnp.ndarray:
     """Clear bit `orb` ([...] int32) in packed words [..., W]."""
-    W = words.shape[-1]
-    widx = jnp.arange(W, dtype=jnp.int32)
-    word_of = (orb[..., None] // BITS_PER_WORD) == widx
-    bit = jnp.uint64(1) << (orb[..., None].astype(jnp.uint64) % BITS_PER_WORD)
-    return words & ~jnp.where(word_of, bit, jnp.uint64(0))
+    return words & ~orb_bit(words.shape[-1])[orb]
 
 
 def get_orb(words: jnp.ndarray, orb: jnp.ndarray) -> jnp.ndarray:
     """Test bit `orb` ([...] int32) of packed words [..., W] -> bool[...]."""
-    word = jnp.take_along_axis(
-        words, (orb[..., None] // BITS_PER_WORD).astype(jnp.int32), axis=-1
-    )[..., 0]
-    return ((word >> (orb.astype(jnp.uint64) % BITS_PER_WORD)) & jnp.uint64(1)) != 0
+    return jnp.any((words & orb_bit(words.shape[-1])[orb]) != jnp.uint64(0),
+                   axis=-1)
+
+
+def count_below(words: jnp.ndarray, lo: jnp.ndarray,
+                hi: jnp.ndarray) -> jnp.ndarray:
+    """Number of set bits at positions in [min(lo,hi), max(lo,hi)-1]
+    of packed words [..., W], via two tiny mask-table gathers + popcount
+    (replaces per-det prefix tables; ref window counts in
+    tools.f90 permutation_factor:1294)."""
+    mt = maskr_table(words.shape[-1])
+    a = jnp.minimum(lo, hi)
+    b = jnp.maximum(lo, hi)
+    win = mt[b] ^ mt[a]
+    return popcount(words & win)
 
 
 def excitation_count(words_i: jnp.ndarray, words_j: jnp.ndarray) -> jnp.ndarray:

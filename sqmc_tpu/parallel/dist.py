@@ -209,7 +209,7 @@ def make_sharded_matvec(H, mesh: Mesh):
 
     Pass the returned function as davidson(..., matvec_fn=...).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n_dev = mesh.devices.size
     n = H.n
@@ -331,11 +331,8 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
         e_num_blkabs_cum=repl, e_den_blkabs_cum=repl,
         e_num_blk=repl, e_den_blk=repl, w_abs_gen=repl, overflow=repl)
     table_specs = WalkTables(
-        same_rs=repl, same_val=repl, same_aliasJ=repl, same_aliasq=repl,
-        same_pack=repl,
-        opp_rs=repl, opp_val=repl, opp_aliasJ=repl, opp_aliasq=repl,
-        opp_pack=repl,
-        u_table=repl, u_cum=repl, u_rowsum=repl,
+        hb_rsval=repl, hb_alias=repl, hb_pack=repl,
+        u_table=repl, u_rowsum=repl, u_alias=repl,
         cs_c=repl, cs_rowsum=repl, cs_aliasJ=repl, cs_aliasq=repl,
         table=jax.tree_util.tree_map(lambda _: repl, base.table),
         ct_up=repl, ct_dn=repl, ct_num=repl, ct_den=repl,
