@@ -1007,8 +1007,19 @@ def _full_sort_merge(state, cfg, key_red, alive, wt_par, diag,
 
     row_keep = neq & keep[gid]
     dest_row = jnp.where(row_keep, pos[gid], M)
-    out_keys = [jnp.full(M, SENT).at[dest_row].set(k, mode="drop")
-                for k in s_keys]
+
+    def scat64(dst, template_u64, vals_u64):
+        # 64-bit scatters lower to a slow path on TPU; two explicit u32
+        # plane scatters are ~4x cheaper and bit-exact
+        hi = jnp.full(M, jnp.uint32(template_u64 >> jnp.uint64(32))).at[
+            dst].set((vals_u64 >> jnp.uint64(32)).astype(jnp.uint32),
+                     mode="drop")
+        lo = jnp.full(M, jnp.uint32(template_u64 & jnp.uint64(0xFFFFFFFF))
+                      ).at[dst].set(vals_u64.astype(jnp.uint32), mode="drop")
+        return (hi.astype(jnp.uint64) << jnp.uint64(32)) | \
+            lo.astype(jnp.uint64)
+
+    out_keys = [scat64(dest_row, SENT, k) for k in s_keys]
     out_wt = jnp.zeros(M).at[dest].set(g_wt, mode="drop")
     out_init = jnp.zeros(M, jnp.int32).at[dest].set(g_init, mode="drop")
     out_imp = jnp.full(M, 10 ** 6, jnp.int32).at[dest].set(g_imp, mode="drop")

@@ -149,31 +149,74 @@ def maskr_table(W: int) -> jnp.ndarray:
     return jnp.asarray(_maskr_np(W))
 
 
+def _bit_word_u64(orb: jnp.ndarray) -> jnp.ndarray:
+    """uint64 with bit (orb % 64) set, from NATIVE uint32 variable shifts
+    (TPU has no 64-bit registers; a u64 variable shift emulates to a long
+    select chain, but u32 shifts are single VPU ops)."""
+    b = (orb % BITS_PER_WORD).astype(jnp.uint32)
+    lo = jnp.where(b < 32, jnp.uint32(1) << (b & jnp.uint32(31)),
+                   jnp.uint32(0))
+    hi = jnp.where(b >= 32, jnp.uint32(1) << (b & jnp.uint32(31)),
+                   jnp.uint32(0))
+    return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << jnp.uint64(32))
+
+
+def _bit_words(words_shape_last: int, orb: jnp.ndarray) -> jnp.ndarray:
+    """[..., W] uint64 one-hot word mask of orbital `orb`."""
+    W = words_shape_last
+    bit = _bit_word_u64(orb)
+    if W == 1:
+        return bit[..., None]
+    widx = jnp.arange(W, dtype=jnp.int32)
+    word_of = (orb[..., None] // BITS_PER_WORD) == widx
+    return jnp.where(word_of, bit[..., None], jnp.uint64(0))
+
+
 def set_orb(words: jnp.ndarray, orb: jnp.ndarray) -> jnp.ndarray:
     """Set bit `orb` ([...] int32) in packed words [..., W]."""
-    return words | orb_bit(words.shape[-1])[orb]
+    return words | _bit_words(words.shape[-1], orb)
 
 
 def clear_orb(words: jnp.ndarray, orb: jnp.ndarray) -> jnp.ndarray:
     """Clear bit `orb` ([...] int32) in packed words [..., W]."""
-    return words & ~orb_bit(words.shape[-1])[orb]
+    return words & ~_bit_words(words.shape[-1], orb)
 
 
 def get_orb(words: jnp.ndarray, orb: jnp.ndarray) -> jnp.ndarray:
     """Test bit `orb` ([...] int32) of packed words [..., W] -> bool[...]."""
-    return jnp.any((words & orb_bit(words.shape[-1])[orb]) != jnp.uint64(0),
-                   axis=-1)
+    return jnp.any((words & _bit_words(words.shape[-1], orb))
+                   != jnp.uint64(0), axis=-1)
+
+
+def _mask_lt_u64(x: jnp.ndarray) -> jnp.ndarray:
+    """uint64 mask of bit positions < x (x in 0..64), via native u32
+    shifts: f(y) = (1 << y) - 1 per half with saturation."""
+    x32 = x.astype(jnp.uint32)
+
+    def f(y):
+        # y clamped to [0, 32]; (1 << min(y,31)) - 1, full-ones at 32
+        yc = jnp.minimum(y, jnp.uint32(31))
+        m = (jnp.uint32(1) << yc) - jnp.uint32(1)
+        return jnp.where(y >= 32, jnp.uint32(0xFFFFFFFF), m)
+
+    lo = f(jnp.minimum(x32, jnp.uint32(32)))
+    hi = f(jnp.where(x32 >= 32, x32 - jnp.uint32(32), jnp.uint32(0)))
+    return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << jnp.uint64(32))
 
 
 def count_below(words: jnp.ndarray, lo: jnp.ndarray,
                 hi: jnp.ndarray) -> jnp.ndarray:
     """Number of set bits at positions in [min(lo,hi), max(lo,hi)-1]
-    of packed words [..., W], via two tiny mask-table gathers + popcount
+    of packed words [..., W], via arithmetic window masks + popcount
     (replaces per-det prefix tables; ref window counts in
     tools.f90 permutation_factor:1294)."""
-    mt = maskr_table(words.shape[-1])
+    W = words.shape[-1]
     a = jnp.minimum(lo, hi)
     b = jnp.maximum(lo, hi)
+    if W == 1:
+        win = _mask_lt_u64(b) ^ _mask_lt_u64(a)
+        return popcount(words & win[..., None])
+    mt = maskr_table(W)
     win = mt[b] ^ mt[a]
     return popcount(words & win)
 
