@@ -116,6 +116,42 @@ class WalkConfig:
         return self.cap_new or max(self.cap_spawn // 4, 8192)
     axis_name: str | None = None
     n_dev: int = 1
+    # projector variant (ref run_type dispatch do_walk.f90:38-50; move
+    # variants :3460-4748).  'none'/'no_fixed_node' = exact signed
+    # projector (plain FCIQMC); the fixed-node family applies per-spawn
+    # sign rules on the importance-transformed flow Ht_ij =
+    # (psi_g_i/psi_g_j) H_ij:
+    #   fixed_node1/fixed_node4: sign-violating spawns REDIRECT to the
+    #     parent det (the stochastic estimate of the fixed-node diagonal
+    #     dump sum_viol Ht_ij);
+    #   fixed_node2: violating spawns flip sign;
+    #   fixed_node3: violating spawns are dropped;
+    #   partial_node: violators redirect with probability
+    #     partial_node_eps (eps=0 exact .. eps=1 fixed_node1);
+    #   release_node: fixed_node1 until step >= release_step, exact after;
+    #   sr: partial_node + Sorella comb reconfiguration each step
+    #     (ref stochastic_reconfiguration do_walk.f90:7258).
+    run_type: str = "none"
+    partial_node_eps: float = 0.0
+    release_step: int = 0
+    sr_nwalk: int = 0               # sr comb size (0 = w_abs_target)
+    # guiding wavefunction for importance sampling: 'none', 'gutzwiller'
+    # (free-fermion x g^n_double; ref hubbard.f90 det_ratio_hubbard:4346)
+    # or 'table' (explicit values; ref read_psit)
+    guiding: str = "none"
+
+    def __post_init__(self):
+        allowed = ("none", "no_fixed_node", "fixed_node1", "fixed_node2",
+                   "fixed_node3", "fixed_node4", "partial_node",
+                   "release_node", "sr")
+        if self.run_type not in allowed:
+            raise ValueError(f"unknown run_type {self.run_type!r}; one of "
+                             f"{allowed} (vmc on determinant systems runs "
+                             "through systems.hubbard.vmc / densewalk)")
+        if self.run_type != "none" and self.run_type != "no_fixed_node" \
+                and self.guiding == "none":
+            raise ValueError(f"run_type {self.run_type!r} requires a "
+                             "guiding wavefunction (cfg.guiding)")
 
     @property
     def nelec(self):
@@ -169,6 +205,9 @@ class WalkTables(NamedTuple):
     imp_rows: jnp.ndarray
     imp_cols: jnp.ndarray
     imp_vals: jnp.ndarray
+    # guiding wavefunction (importance sampling / fixed-node; empty
+    # placeholder when cfg.guiding == 'none')
+    guide: object
 
 
 class WalkState(NamedTuple):
@@ -194,6 +233,7 @@ class WalkState(NamedTuple):
     e_den_blk: jnp.ndarray
     w_abs_gen: jnp.ndarray
     overflow: jnp.ndarray        # bool: capacity exceeded (host must grow)
+    step: jnp.ndarray            # generation counter (release_node)
 
 
 SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -203,11 +243,24 @@ SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 # Table construction (host)
 # ---------------------------------------------------------------------------
 
-def build_walk_tables(system, trial) -> WalkTables:
-    """Assemble device tables from a FermionSystem + TrialWavefunction."""
+def build_walk_tables(system, trial, guide=None, cfg=None) -> WalkTables:
+    """Assemble device tables from a FermionSystem + TrialWavefunction.
+
+    With a guiding wavefunction (cfg.guiding != 'none'), the C(T)
+    estimator caches and the deterministic-space projector are
+    importance-transformed (Ht_ij = psi_g_i/psi_g_j H_ij), and the
+    projector additionally gets the EXACT fixed-node treatment of
+    cfg.run_type (violators zeroed, column dumps on the diagonal) -
+    mirroring the reference's deterministic-space handling of the
+    effective Hamiltonian (ref do_walk.f90:887-1012)."""
     hb = system.heatbath
     table = system.table
     norb = system.norb
+    from .guiding import empty_guiding, eval_guiding
+    guiding_kind = cfg.guiding if cfg is not None else "none"
+    run_type = cfg.run_type if cfg is not None else "none"
+    if guide is None:
+        guide = empty_guiding()
 
     def row_cums(val, start, count):
         """In-row inclusive |value| prefix sums over the flat ragged array
@@ -309,6 +362,48 @@ def build_walk_tables(system, trial) -> WalkTables:
     c_all = np.concatenate([H.cols, H.rows, np.arange(n_imp)]).astype(np.int32)
     v_all = np.concatenate([H.vals, H.vals, H.diag])
 
+    ct_num = np.asarray(trial.ct_num, np.float64)
+    ct_den = np.asarray(trial.ct_den, np.float64)
+    if guiding_kind != "none":
+        # importance transform of the estimator caches: the walker carries
+        # f_i = psi_g_i Phi_i, so the per-det numerator/denominator divide
+        # by psi_g (ref energy_pieces under importance sampling)
+        g_ct = np.asarray(eval_guiding(guide, guiding_kind,
+                                       jnp.asarray(trial.ct_up),
+                                       jnp.asarray(trial.ct_dn),
+                                       norb, system.nup, system.ndn))
+        g_ct = np.where(np.abs(g_ct) < 1e-300, 1e-300, g_ct)
+        ct_num = ct_num / g_ct
+        ct_den = ct_den / g_ct
+        if n_imp > 0:
+            g_imp = np.asarray(eval_guiding(guide, guiding_kind,
+                                            jnp.asarray(trial.imp_up),
+                                            jnp.asarray(trial.imp_dn),
+                                            norb, system.nup, system.ndn))
+            g_imp = np.where(np.abs(g_imp) < 1e-300, 1e-300, g_imp)
+            off = r_all != c_all
+            v_all = v_all * np.where(off, g_imp[r_all] / g_imp[c_all], 1.0)
+            if run_type not in ("none", "no_fixed_node"):
+                # exact fixed-node effective H on the deterministic space:
+                # sign-violating off-diagonals (Ht > 0) move to the
+                # column's diagonal per the run_type rule
+                viol = off & (v_all > 0)
+                eps_fn = {"fixed_node1": 1.0, "fixed_node4": 1.0,
+                          "release_node": 1.0, "fixed_node3": 1.0,
+                          "partial_node": cfg.partial_node_eps,
+                          "sr": cfg.partial_node_eps,
+                          "fixed_node2": 1.0}[run_type]
+                dump = np.zeros(n_imp)
+                np.add.at(dump, c_all[viol], eps_fn * v_all[viol])
+                if run_type == "fixed_node2":
+                    v_all = np.where(viol, -v_all, v_all)
+                else:
+                    v_all = np.where(viol, (1.0 - eps_fn) * v_all, v_all)
+                    if run_type != "fixed_node3":
+                        diag_sel = ~off
+                        add = dump[r_all] * diag_sel
+                        v_all = v_all + add
+
     # concatenate the same/opp families: opp entry indices offset by
     # n_same, opp row indices offset by ntri_s (handled at the call site)
     n_same = len(np.asarray(hb.same_val))
@@ -334,18 +429,22 @@ def build_walk_tables(system, trial) -> WalkTables:
         cs_aliasJ=jnp.asarray(cs_J2), cs_aliasq=jnp.asarray(cs_q2),
         table=table,
         ct_up=jnp.asarray(trial.ct_up), ct_dn=jnp.asarray(trial.ct_dn),
-        ct_num=jnp.asarray(trial.ct_num), ct_den=jnp.asarray(trial.ct_den),
+        ct_num=jnp.asarray(ct_num), ct_den=jnp.asarray(ct_den),
         imp_up=jnp.asarray(trial.imp_up), imp_dn=jnp.asarray(trial.imp_dn),
         imp_rows=jnp.asarray(r_all), imp_cols=jnp.asarray(c_all),
         imp_vals=jnp.asarray(v_all),
+        guide=guide,
     )
 
 
 def init_walk_state(cfg: WalkConfig, trial, w_abs_begin: float,
-                    e_trial_initial: float, seed: int = 0) -> WalkState:
+                    e_trial_initial: float, seed: int = 0,
+                    guide=None) -> WalkState:
     """Initial population: Psi_T dets weighted by coefficients, scaled to
     total |w| = w_abs_begin (ref: do_walk.f90:1129-1368), plus all
     deterministic-space dets at weight 0 so the projector always sees them.
+    Under importance sampling the walker carries f = psi_g * Phi (taken
+    positive for fixed-node runs; ref do_walk.f90:1212-1217).
     """
     M, W = cfg.mwalk, cfg.n_words
     up = np.full((M, W), SENTINEL, dtype=np.uint64)
@@ -360,14 +459,26 @@ def init_walk_state(cfg: WalkConfig, trial, w_abs_begin: float,
     all_dn = np.concatenate([trial.psit_dn, trial.imp_dn])
     coefs = np.concatenate([trial.psit_coef, np.zeros(len(trial.imp_up))])
     u, d, (c,), _ = setalg.unique_dets(all_up, all_dn, [coefs])
-    scale = w_abs_begin / np.sum(np.abs(c))
+    if cfg.guiding != "none" and guide is not None:
+        from .guiding import eval_guiding
+        g = np.asarray(eval_guiding(guide, cfg.guiding, jnp.asarray(u),
+                                    jnp.asarray(d), cfg.norb, cfg.nup,
+                                    cfg.ndn))
+        c = g * c
+        if cfg.run_type not in ("none", "no_fixed_node"):
+            c = np.abs(c)   # f = psi_g * Phi >= 0 (ref do_walk.f90:1212)
+    scale = w_abs_begin / max(np.sum(np.abs(c)), 1e-300)
     n0 = len(u)
     up[:n0] = u
     dn[:n0] = d
     wt[:n0] = c * scale
-    # membership flags
-    in_imp = ~setalg.setdiff_dets(u, d, trial.imp_up, trial.imp_dn)
-    imp[:n0] = np.where(in_imp, 0, 1)
+    # membership flags (imp==0 exempts a det from the stochastic diagonal
+    # move, so it is only valid when the exact D-projection runs)
+    if cfg.semistochastic:
+        in_imp = ~setalg.setdiff_dets(u, d, trial.imp_up, trial.imp_dn)
+        imp[:n0] = np.where(in_imp, 0, 1)
+    else:
+        imp[:n0] = 1
     init[:n0] = 2  # starting dets are initiators
 
     return WalkState(
@@ -386,6 +497,7 @@ def init_walk_state(cfg: WalkConfig, trial, w_abs_begin: float,
         e_den_blk=jnp.asarray(0.0, jnp.float64),
         w_abs_gen=jnp.asarray(float(w_abs_begin), jnp.float64),
         overflow=jnp.asarray(False),
+        step=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -606,9 +718,10 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     p_single = jnp.where(Utot + W2tot > 0, Utot / (Utot + W2tot), 0.0)
 
     # ---------------- spawn slot allocation -------------------------------
-    # one fused uniform draw for the parent-level + all four per-slot
-    # streams (one PRNG dispatch instead of five)
-    u_all = jax.random.uniform(keys[1], (M + 4 * CAP,))
+    # one fused uniform draw for the parent-level + all per-slot streams
+    # (one PRNG dispatch instead of five)
+    n_cap_draws = 5 if cfg.run_type in ("partial_node", "sr") else 4
+    u_all = jax.random.uniform(keys[1], (M + n_cap_draws * CAP,))
     u_spawn = u_all[:M]
     g = cfg.spawn_granularity
     small = absw < cfg.always_spawn_cutoff * g
@@ -665,7 +778,7 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     ct = pr_count[b, pair_i]
     rsum = pr_rowsum[b, pair_i]
 
-    ua2 = u_all[M + 3 * CAP:]
+    ua2 = u_all[M + 3 * CAP:M + 4 * CAP]
     extra_fail = jnp.zeros(CAP, bool)
     p_rs = jnp.ones(CAP)          # in-row proposal probability (non-hb)
     val_tab = jnp.zeros(CAP)
@@ -826,12 +939,51 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     spawn_wt = jnp.where(take_single, w_sng, w_dbl) * wt_child[b]
     spawn_wt = jnp.where(spawn_ok, spawn_wt, 0.0)
 
+    # ---------------- importance sampling + run_type sign rules ------------
+    if cfg.guiding != "none":
+        # spawn weight x psi_g(target)/psi_g(parent) (ref det_ratio_*)
+        from .guiding import eval_guiding
+        psi_g_par = eval_guiding(tables.guide, cfg.guiding, state.up,
+                                 state.dn, norb, nup, ndn)
+        psi_g_t = eval_guiding(tables.guide, cfg.guiding, spawn_up,
+                               spawn_dn, norb, nup, ndn)
+        gp = psi_g_par[b]
+        ratio = psi_g_t / jnp.where(jnp.abs(gp) < 1e-300, 1e-300, gp)
+        spawn_wt = spawn_wt * ratio
+
     # child flags (ref: do_walk.f90:3700-3730)
     par_imp = state.imp[b]
     child_imp = jnp.where(par_imp == -2, 2,
                           jnp.minimum(par_imp, 125) + 1)
     child_imp = jnp.where(cfg.semistochastic & (par_imp == 0), -1, child_imp)
     child_init = jnp.where(state.init[b] >= 2, 1, 0).astype(jnp.int32)
+
+    if cfg.run_type not in ("none", "no_fixed_node"):
+        # sign-violating flow: spawn sign opposite the parent's (ref move
+        # variants do_walk.f90:3460-4748; densewalk._projector_parts holds
+        # the matrix form of the same rules)
+        viol = spawn_ok & (spawn_wt * jnp.sign(wt_child[b]) < 0)
+        if cfg.run_type == "fixed_node2":
+            spawn_wt = jnp.where(viol, -spawn_wt, spawn_wt)
+        elif cfg.run_type == "fixed_node3":
+            spawn_ok = spawn_ok & ~viol
+            spawn_wt = jnp.where(viol, 0.0, spawn_wt)
+        else:
+            if cfg.run_type in ("partial_node", "sr"):
+                u5 = u_all[M + 4 * CAP:]
+                redirect = viol & (u5 < cfg.partial_node_eps)
+            elif cfg.run_type == "release_node":
+                redirect = viol & (state.step < cfg.release_step)
+            else:  # fixed_node1 / fixed_node4
+                redirect = viol
+            # REDIRECT to the parent det: an unbiased estimate of the
+            # fixed-node diagonal dump sum_viol Ht_ij.  imp is forced to
+            # max distance so a redirected D-parent dump is NOT discarded
+            # by the stochastic D->D rule (the exact D-projection carries
+            # only the D-internal part of the dump).
+            spawn_up = jnp.where(redirect[:, None], up_w, spawn_up)
+            spawn_dn = jnp.where(redirect[:, None], dn_w, spawn_dn)
+            child_imp = jnp.where(redirect, 126, child_imp)
 
     spawn_up = jnp.where(spawn_ok[:, None], spawn_up, jnp.uint64(SENTINEL))
     spawn_dn = jnp.where(spawn_ok[:, None], spawn_dn, jnp.uint64(SENTINEL))
@@ -877,7 +1029,7 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         return _finalize_step(state, tables, cfg, out_up, out_dn, out_wt,
                               out_init, out_imp, out_diag, nwalk_new,
                               overflow, total_spawn, spawn_wt, spawn_ok,
-                              new_key, tau, e_trial)
+                              new_key, tau, e_trial, key_comb=keys[6])
 
     out = _full_sort_merge(state, cfg, keys[5], alive, wt_par, diag,
                            spawn_up, spawn_dn, spawn_wt, spawn_ok,
@@ -887,7 +1039,7 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     return _finalize_step(state, tables, cfg, out_up, out_dn, out_wt,
                           out_init, out_imp, out_diag, nwalk_new, overflow,
                           total_spawn, spawn_wt, spawn_ok, new_key, tau,
-                          e_trial)
+                          e_trial, key_comb=keys[6])
 
 
 def _full_sort_merge(state, cfg, key_red, alive, wt_par, diag,
@@ -1204,7 +1356,14 @@ def _two_level_merge(state, cfg, keys, alive, wt_par, diag, spawn_up,
 
 def _finalize_step(state, tables, cfg, out_up, out_dn, out_wt, out_init,
                    out_imp, out_diag, nwalk_new, overflow, total_spawn,
-                   spawn_wt, spawn_ok, new_key, tau, e_trial):
+                   spawn_wt, spawn_ok, new_key, tau, e_trial,
+                   key_comb=None):
+    # ---------------- stochastic reconfiguration (run_type sr) -------------
+    if cfg.run_type == "sr":
+        from .densewalk import _comb_reconfigure
+        n_comb = cfg.sr_nwalk or int(cfg.w_abs_target)
+        out_wt = _comb_reconfigure(out_wt, key_comb, n_comb)
+
     # ---------------- reweight ---------------------------------------------
     out_wt = out_wt * state.reweight_factor_inv
 
@@ -1266,6 +1425,7 @@ def _finalize_step(state, tables, cfg, out_up, out_dn, out_wt, out_init,
         e_num_blk=e_num_blk, e_den_blk=e_den_blk,
         w_abs_gen=w_abs_gen,
         overflow=state.overflow | overflow,
+        step=state.step + 1,
     )
     # log2-binned |spawned weight| histogram (ref: gen_hist/add_to_hist,
     # more_tools.f90:5449, filled at do_walk.f90:7603-7636); bin i covers
@@ -1346,7 +1506,8 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
              mode: str = "scan", walkalize_file: str | None = None,
              max_eq_extensions: int = 3,
              checkpoint_file: str | None = None,
-             resume_state: "WalkState | None" = None) -> WalkResult:
+             resume_state: "WalkState | None" = None,
+             guide=None) -> WalkResult:
     """Block/step driver with equilibration (ref: do_walk.f90:2113).
 
     Energy estimate: ratio of block sums of e_num/e_den with blocking error
@@ -1360,7 +1521,7 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
     """
     import time
 
-    tables = build_walk_tables(system, trial)
+    tables = build_walk_tables(system, trial, guide=guide, cfg=cfg)
     if resume_state is not None:
         # mid-walk restart (extends the reference's restart artifacts,
         # SURVEY 5.4: "no mid-walk walker checkpoint exists" - here one
@@ -1368,7 +1529,7 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
         state = resume_state
     else:
         state = init_walk_state(cfg, trial, w_abs_begin, e_trial_initial,
-                                seed)
+                                seed, guide=guide)
 
     e_blocks = []
     w_trace, n_trace = [], []

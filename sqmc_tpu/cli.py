@@ -93,9 +93,25 @@ def _seed4(seed: int):
 
 def run_det_walk(cfg, system, verbose: bool = True):
     """SQMC walk on a determinant system (chem/heg/hubbardk/hubbard2)
-    driven from card input (ref: do_walk.f90 walk:1462)."""
+    driven from card input (ref: do_walk.f90 walk:1462), including the
+    fixed-node run_type family with Gutzwiller guiding (ref dispatch
+    do_walk.f90:38-50; hubbard.f90 wf_type 'gutz':244-253)."""
     from .algo.semistoch import build_trial_wavefunction
     from .algo.walk import WalkConfig, run_walk
+
+    run_type = cfg.run_type if cfg.run_type in (
+        "fixed_node1", "fixed_node2", "fixed_node3", "fixed_node4",
+        "partial_node", "release_node", "sr") else "none"
+    guide = None
+    guiding = "none"
+    if run_type != "none" or cfg.importance_sampling:
+        from .algo.guiding import make_gutzwiller_guiding
+        g = cfg.gutz_g if cfg.wf_type.startswith(("gutz", "cgutz")) else 1.0
+        guide = make_gutzwiller_guiding(system, g=g)
+        guiding = "gutzwiller"
+        if verbose and cfg.wf_type:
+            print(f"trial_wf_type={cfg.wf_type}")
+            print(f"g={g:8.3f}")
 
     trial = build_trial_wavefunction(
         system, eps_var=cfg.eps_var if cfg.eps_var < 1 else 2e-3,
@@ -112,13 +128,16 @@ def run_det_walk(cfg, system, verbose: bool = True):
         reweight_factor_inv_max=cfg.reweight_factor_inv_max,
         semistochastic=cfg.semistochastic, has_singles=system.has_singles,
         c_t_initiator=cfg.c_t_initiator,
+        run_type=run_type, partial_node_eps=cfg.partial_node_eps,
+        release_step=cfg.nstep * cfg.nblk_eq // 2 or 1,
+        guiding=guiding,
         proposal={"uniform": "uniform", "uniform2": "uniform",
                   "CauchySchwarz": "cauchy_schwarz"}.get(
                       cfg.proposal_method, "fast_heatbath"))
     out = run_walk(system, trial, wcfg, nstep=cfg.nstep, nblk=cfg.nblk,
                    nblk_eq=cfg.nblk_eq, w_abs_begin=cfg.w_abs_begin,
                    e_trial_initial=cfg.e_trial_initial or trial.e_trial,
-                   seed=cfg.seeds[0], verbose=verbose)
+                   seed=cfg.seeds[0], verbose=verbose, guide=guide)
     print(f"e_mixed={out.e_mixed:26.9f} +-{out.e_err:.9f}")
     return out
 
@@ -179,6 +198,18 @@ def run_from_config(cfg, fcidump: str | None = None, verbose: bool = True):
         my_second("END", "truncated lanczos")
         print(f"Truncated Lanczos energy={res.energy:26.9f}")
         return res
+    if cfg.run_type == "vmc" and cfg.hamiltonian_type == "hubbard2":
+        # Gutzwiller VMC with Sherman-Morrison ratios (ref run_type 'vmc'
+        # -> compute_vmc_energy_gutz_wf, hubbard.f90:1061)
+        from .systems.hubbard.vmc import run_vmc
+        my_second("BEG", "vmc")
+        e, err = run_vmc(cfg.l_x, cfg.l_y, cfg.t_hub, cfg.u_hub, cfg.nup,
+                         cfg.nelec - cfg.nup, g=cfg.gutz_g, pbc=cfg.pbc,
+                         seed=cfg.seeds[0] & 0xFFFF)
+        my_second("END", "vmc")
+        print(f"e_vmc={e:26.9f} +-{err:.9f}")
+        print(f"e_mixed={e:26.9f} +-{err:.9f}")
+        return e, err
     if cfg.run_type != "hci":
         my_second("BEG", "walk")
         out = run_det_walk(cfg, system, verbose=verbose)

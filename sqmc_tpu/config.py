@@ -100,6 +100,10 @@ class SqmcInput:
     u_hub: float = 4.0
     pbc: bool = True
     neel_up_only: bool = False
+    # trial/guiding wavefunction cards (ref hubbard.f90:211-253): wf_type
+    # 'gutz'/'gutz_rhf'/... reads the Gutzwiller factor g next
+    wf_type: str = ""
+    gutz_g: float = 1.0
     # namelist-driven observables (&natorb, &greens_function, &active_space)
     get_natorbs: bool = False
     natorb_use_pt: bool = False
@@ -352,12 +356,23 @@ def parse_input(text: str) -> SqmcInput:
         t = take(2)
         cfg.nup = int(t[0])
         cfg.nelec = int(t[0]) + int(t[1])
-        if i < len(lines):
+        # optional wf_type card (ref hubbard.f90:211: read(5,*) wf_type);
+        # 'gutz*' types read the Gutzwiller g and diagonalize_ham next
+        # (ref :244-253)
+        if i < len(lines) and re.match(r"^['\"]?[A-Za-z]",
+                                       lines[i].strip()):
+            cfg.wf_type = _tokens(lines[i], 1)[0].strip("'\"")
+            i += 1
+            if cfg.wf_type.startswith("gutz") or \
+                    cfg.wf_type.startswith("cgutz"):
+                cfg.gutz_g = float(take(1)[0])
+                cfg.diagonalize_ham = int(take(1)[0])
+        elif i < len(lines):
             cfg.diagonalize_ham = int(take(1)[0])
-        if i < len(lines):
-            cfg.ndet_psi_t = int(take(1)[0])
-            cfg.iwdet_psi_t = [int(x) for x in take(cfg.ndet_psi_t)]
-            cfg.cdet_psi_t = [float(x) for x in take(cfg.ndet_psi_t)]
+            if i < len(lines):
+                cfg.ndet_psi_t = int(take(1)[0])
+                cfg.iwdet_psi_t = [int(x) for x in take(cfg.ndet_psi_t)]
+                cfg.cdet_psi_t = [float(x) for x in take(cfg.ndet_psi_t)]
 
     # namelist overrides
     sc = nl.get("selected_ci", {})

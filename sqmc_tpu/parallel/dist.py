@@ -329,7 +329,8 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
         e_trial=repl, e_est=repl, tau=repl, reweight_factor_inv=repl,
         reached_target=repl, equilibrated=repl,
         e_num_blkabs_cum=repl, e_den_blkabs_cum=repl,
-        e_num_blk=repl, e_den_blk=repl, w_abs_gen=repl, overflow=repl)
+        e_num_blk=repl, e_den_blk=repl, w_abs_gen=repl, overflow=repl,
+        step=repl)
     table_specs = WalkTables(
         hb_rsval=repl, hb_alias=repl, hb_pack=repl,
         u_table=repl, u_rowsum=repl, u_alias=repl,
@@ -337,7 +338,8 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
         table=jax.tree_util.tree_map(lambda _: repl, base.table),
         ct_up=repl, ct_dn=repl, ct_num=repl, ct_den=repl,
         imp_up=sharded, imp_dn=sharded, imp_rows=sharded, imp_cols=sharded,
-        imp_vals=sharded)
+        imp_vals=sharded,
+        guide=jax.tree_util.tree_map(lambda _: repl, base.guide))
     stats_specs = dict(e_num_gen=repl, e_den_gen=repl, w_abs_gen=repl,
                        nwalk=repl, e_gen=repl, n_spawn=repl,
                        reweight_factor_inv=repl, spawn_hist=repl)

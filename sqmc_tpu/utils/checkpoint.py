@@ -55,7 +55,7 @@ def save_walker_state(path: str, state):
         enbc=np.asarray(state.e_num_blkabs_cum),
         edbc=np.asarray(state.e_den_blkabs_cum),
         enb=np.asarray(state.e_num_blk), edb=np.asarray(state.e_den_blk),
-        w_abs=np.asarray(state.w_abs_gen))
+        w_abs=np.asarray(state.w_abs_gen), step=np.asarray(state.step))
 
 
 def load_walker_state(path: str, cfg):
@@ -78,4 +78,5 @@ def load_walker_state(path: str, cfg):
         e_den_blkabs_cum=jnp.asarray(z["edbc"]),
         e_num_blk=jnp.asarray(z["enb"]), e_den_blk=jnp.asarray(z["edb"]),
         w_abs_gen=jnp.asarray(z["w_abs"]),
-        overflow=jnp.asarray(False))
+        overflow=jnp.asarray(False),
+        step=jnp.asarray(z["step"] if "step" in z.files else 0, jnp.int32))

@@ -230,3 +230,82 @@ def test_hubbardk_hci_from_cards(tmp_path):
     # the HF-reachable FCI ground is -5.6568542 (validated in
     # test_legacy_ci / test_walk_hubbardk_vs_fci)
     assert float(m.group(1)) == pytest.approx(-5.6568542, abs=1e-5)
+
+
+HUBBARD2_FN_INPUT = """\
+13 5                               irand_seed
+100 6 3 0                          nstep,nblk,nblk_eq,ipr
+1500 3000 4096                     w_abs_gen_begin, w_abs_gen_target, MWALK
+0.3 0.02                           tau_multiplier, tau
+1. 2.                              reweight_factor_inv_max_multiplier, reweight_factor_inv_max
+10. 0. 0.5                         population_control_expon, e_trial_initial, min_wt
+fast_heatbath 1 0. 0 1.            proposal_method, importance_sampling, r_initiator, initiator_power, initiator_rescale_power
+fixed_node1                        run_type
+.false. f                          semistochastic, use_exponential_projector
+0. 0.                              psi_g_energy, psi_g_epsilon
+'hubbard2' 0                       hamiltonian_type,ipr
+1 8                                l_x, l_y
+f f                                pbc, neel_up_only
+1. 4.                              t, U
+2 2                                n_alpha, n_beta
+gutz                               wf_type
+0.7                                g
+0                                  diagonalize_ham
+"""
+
+
+def test_hubbard2_fixed_node_from_cards(tmp_path):
+    """Card-driven fixed_node1 walk with Gutzwiller guiding on a real
+    determinant system (ref: run_type dispatch do_walk.f90:38-50 +
+    hubbard.f90 wf_type 'gutz':244-253); oracle = exact fixed-node
+    effective Hamiltonian on the enumerated 1x8 quarter-filled chain."""
+    import itertools
+    import jax.numpy as jnp
+    from sqmc_tpu import dets as _dets
+    from sqmc_tpu.systems.hubbard.system import make_hubbard_real_system
+    from sqmc_tpu.systems.chem import slater
+    from sqmc_tpu.algo.guiding import make_gutzwiller_guiding, eval_guiding
+
+    inp = tmp_path / "i_h2fn"
+    inp.write_text(HUBBARD2_FN_INPUT)
+    out = subprocess.run(
+        [sys.executable, "-m", "sqmc_tpu", "-i", str(inp), "--cpu"],
+        capture_output=True, text=True, cwd=REPO, timeout=560)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "trial_wf_type=gutz" in out.stdout
+    m = re.search(r"e_mixed=\s*([-+0-9.]+)\s*\+-\s*([0-9.eE-]+)", out.stdout)
+    assert m, out.stdout[-1500:]
+    e, err = float(m.group(1)), float(m.group(2))
+
+    # exact oracle: E_mix of the FN effective Hamiltonian's ground state
+    # against the (near-exact) variational trial
+    L = 8
+    sys_ = make_hubbard_real_system(1, L, 1.0, 4.0, 2, 2, pbc=False)
+    guide = make_gutzwiller_guiding(sys_, g=0.7)
+    combos = [(u, d) for u in itertools.combinations(range(L), 2)
+              for d in itertools.combinations(range(L), 2)]
+    ups = np.stack([_dets.det_from_orbs(u, L) for u, d in combos])
+    dns = np.stack([_dets.det_from_orbs(d, L) for u, d in combos])
+    bu = _dets.to_bits(jnp.asarray(ups), L)
+    bd = _dets.to_bits(jnp.asarray(dns), L)
+    n = len(combos)
+    ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    H = np.asarray(slater.pair_matrix_elements(
+        sys_.table, bu[ii.ravel()], bd[ii.ravel()],
+        bu[jj.ravel()], bd[jj.ravel()])).reshape(n, n)
+    g = np.asarray(eval_guiding(guide, "gutzwiller", jnp.asarray(ups),
+                                jnp.asarray(dns), L, 2, 2))
+    ht = H * (g[:, None] / g[None, :])
+    viol = (~np.eye(n, dtype=bool)) & (ht > 0)
+    hfn = np.where(viol, 0.0, H)
+    np.fill_diagonal(hfn, np.diag(H) +
+                     np.sum(np.where(viol, ht, 0.0), axis=0))
+    w_, v_ = np.linalg.eig(hfn)
+    i0 = np.argmin(w_.real)
+    phi = v_[:, i0].real
+    w0, v0 = np.linalg.eigh(H)
+    psi0 = v0[:, 0]
+    phi *= np.sign(phi @ psi0)
+    e_mix_oracle = (psi0 @ H @ phi) / (psi0 @ phi)
+    assert abs(e - e_mix_oracle) < max(8 * err, 0.05), \
+        (e, e_mix_oracle, err)

@@ -55,9 +55,11 @@ def main():
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/walk_trace"
     cfg, tables, state, walk_block = build()
 
-    # warm up: grow the population to target + compile
+    # warm up: grow the population to target + compile (the same
+    # 100-step block program the bench runs, so the compile is cached)
+    nstep = 100
     for _ in range(3):
-        state, _ = walk_block(state, tables, cfg, 100)
+        state, _ = walk_block(state, tables, cfg, nstep)
     jax.block_until_ready(state.wt)
     print(f"# warmed up: w_abs={float(state.w_abs_gen):.0f} "
           f"nwalk={int(state.nwalk)}", flush=True)
