@@ -136,7 +136,7 @@ def perform_selected_ci(system, iters: int, n_initiators, n_truncate,
     # final diagonalization in the selected space (ref :1240
     # rediagonalize=.true.)
     H = build_sparse_ham(system.table, up, dn, system.nup, system.ndn,
-                         system.norb)
+                         system.norb, time_sym=system.time_sym, z=system.z)
     evals, evecs = davidson(H, n_states=1)
     if verbose:
         print(f"selected_ci final: ndet={len(up)} E={evals[0]:.8f}")

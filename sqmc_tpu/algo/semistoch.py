@@ -65,15 +65,16 @@ def build_trial_wavefunction(system, eps_var: float = 2e-3,
     pc = pc / np.linalg.norm(pc)
     # Rayleigh quotient of the truncated Psi_T as e_trial seed
     Hp = build_sparse_ham(system.table, pu, pd, system.nup, system.ndn,
-                          system.norb)
+                          system.norb, time_sym=system.time_sym, z=system.z)
     Hm = np.zeros((len(pu), len(pu)))
     Hm[Hp.rows, Hp.cols] = Hp.vals
     Hm = Hm + Hm.T + np.diag(Hp.diag)
     e_trial = float(pc @ Hm @ pc)
 
     iu, idn, _ = _top_by_coef(res.up, res.dn, wts, n_imp)
-    imp_ham = build_sparse_ham(system.table, iu, idn, system.nup, system.ndn,
-                               system.norb)
+    imp_ham = build_sparse_ham(system.table, iu, idn, system.nup,
+                               system.ndn, system.norb,
+                               time_sym=system.time_sym, z=system.z)
 
     # C(T): all connections of Psi_T (unscreened: eps -> 0+ keeps every
     # nonzero |H| entry of the heat-bath rows) with summed H*c

@@ -139,6 +139,14 @@ class WalkConfig:
     # (free-fermion x g^n_double; ref hubbard.f90 det_ratio_hubbard:4346)
     # or 'table' (explicit values; ref read_psit)
     guiding: str = "none"
+    # walk in the time-reversal-symmetrized basis (ref
+    # hamiltonian_chem_time_sym, chemistry.f90:1323): walkers are
+    # representatives (min of (up,dn) vs (dn,up)); spawns sample the
+    # det-basis connections of the stored orientation and map to
+    # representatives with the sqrt2 norms and z sign flips; the diagonal
+    # gains the z*<i|H|rev_i> cross term
+    time_sym: bool = False
+    z: int = 1
 
     def __post_init__(self):
         allowed = ("none", "no_fixed_node", "fixed_node1", "fixed_node2",
@@ -414,11 +422,16 @@ def build_walk_tables(system, trial, guide=None, cfg=None) -> WalkTables:
     hb_alias = np.stack([np.concatenate([s_q, o_q]),
                          np.concatenate([s_J, o_J]).astype(np.float64)],
                         axis=1)
+    # f32 row-pack when starts fit 24 bits exactly (the rowsum only shapes
+    # the self-consistent pair-selection distribution); f64 beyond
+    n_tot_hb = len(rs_cat)
+    pack_dtype = np.float32 if n_tot_hb < (1 << 24) else np.float64
     hb_pack = np.concatenate([
         np.stack([np.asarray(hb.same_start, np.float64),
                   np.asarray(hb.same_count, np.float64), s_rowsum], axis=1),
         np.stack([np.asarray(hb.opp_start, np.float64) + n_same,
-                  np.asarray(hb.opp_count, np.float64), o_rowsum], axis=1)])
+                  np.asarray(hb.opp_count, np.float64), o_rowsum], axis=1)]
+    ).astype(pack_dtype)
 
     return WalkTables(
         hb_rsval=jnp.asarray(hb_rsval), hb_alias=jnp.asarray(hb_alias),
@@ -704,13 +717,18 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         pr_weight = tables.cs_rowsum[p_pair] * tables.cs_rowsum[q_pair]
     else:
         pr_weight = pr_rowsum
-    pair_cum = prefix.cumsum_rows(pr_weight)                 # [M, npairs]
-    W2tot = pair_cum[:, -1]
+    # f32 proposal tables: the sampler stays internally consistent (the
+    # selection probability and the weight normalization both read the
+    # same f32 cumulative), so the only effect is an O(1e-7) relative
+    # reshaping of the in-row split - far below statistical resolution;
+    # f64 arithmetic is software-emulated on TPU and dominated this block
+    pair_cum = prefix.cumsum_rows(pr_weight.astype(jnp.float32))
+    W2tot = pair_cum[:, -1].astype(jnp.float64)              # [M]
 
     if cfg.has_singles:
         u_rows = tables.u_rowsum[jnp.concatenate([occ_up, occ_dn], axis=1)]
-        sing_cum = prefix.cumsum_rows(u_rows)                # [M, nelec]
-        Utot = sing_cum[:, -1]
+        sing_cum = prefix.cumsum_rows(u_rows.astype(jnp.float32))
+        Utot = sing_cum[:, -1].astype(jnp.float64)           # [M]
     else:
         sing_cum = jnp.zeros((M, 1))
         Utot = jnp.zeros(M)
@@ -765,7 +783,7 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     # pair ~ row weights: gather the parent's [npairs] cumulative row once
     # and count entries <= target (one contiguous-row gather instead of a
     # log2(npairs)-deep bisection of scattered gathers)
-    targ = up_ * W2tot[b]
+    targ = (up_ * W2tot[b]).astype(jnp.float32)
     pair_rows = jnp.take(pair_cum, b, axis=0)              # [CAP, npairs]
     pair_i = jnp.minimum(
         jnp.sum(pair_rows <= targ[:, None], axis=1).astype(jnp.int32),
@@ -894,7 +912,7 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     # ---- singles path (chem) ----
     if cfg.has_singles:
         occ_all = jnp.concatenate([occ_up, occ_dn], axis=1)   # [M, nelec]
-        targ_s = up_ * Utot[b]
+        targ_s = (up_ * Utot[b]).astype(jnp.float32)
         sing_rows = jnp.take(sing_cum, b, axis=0)             # [CAP, nelec]
         e_i = jnp.minimum(
             jnp.sum(sing_rows <= targ_s[:, None], axis=1).astype(jnp.int32),
@@ -938,6 +956,31 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     spawn_ok = jnp.where(take_single, sng_ok, dbl_ok) & slot_valid
     spawn_wt = jnp.where(take_single, w_sng, w_dbl) * wt_child[b]
     spawn_wt = jnp.where(spawn_ok, spawn_wt, 0.0)
+
+    # ---------------- time-reversal symmetrized basis -----------------------
+    if cfg.time_sym:
+        # map det-basis targets to ts representatives (same rules as
+        # connect._time_sym_postprocess; ref chemistry.f90:6957-6992):
+        # kill self-symmetric targets for z<0 and targets equal to the
+        # parent's time-reverse (a ts-diagonal move, carried exactly by
+        # the diagonal cross term below); apply sqrt2 norms; swap
+        # non-representative orientations with h *= z
+        from ..systems.chem.slater import SQRT2, SQRT2INV
+        sym_par = jnp.all(up_w == dn_w, axis=1)
+        sym_cand = jnp.all(spawn_up == spawn_dn, axis=1)
+        kill_ts = jnp.all(spawn_up == dn_w, axis=1) & \
+            jnp.all(spawn_dn == up_w, axis=1) & ~sym_par
+        if cfg.z < 0:
+            kill_ts = kill_ts | sym_cand
+        fac = jnp.where(sym_par & ~sym_cand, SQRT2INV, 1.0) * \
+            jnp.where(sym_cand & ~sym_par, SQRT2, 1.0)
+        swap_ts, _ = _lex_less_eq(spawn_dn, spawn_up, spawn_up, spawn_dn)
+        fac = jnp.where(swap_ts, cfg.z * fac, fac)
+        new_su = jnp.where(swap_ts[:, None], spawn_dn, spawn_up)
+        spawn_dn = jnp.where(swap_ts[:, None], spawn_up, spawn_dn)
+        spawn_up = new_su
+        spawn_ok = spawn_ok & ~kill_ts
+        spawn_wt = jnp.where(spawn_ok, spawn_wt * fac, 0.0)
 
     # ---------------- importance sampling + run_type sign rules ------------
     if cfg.guiding != "none":
@@ -1010,6 +1053,13 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     # compute unknown diagonal elements
     need_diag = (state.diag > 1e50) & alive & (state.imp >= 1)
     diag_new = slater.diag_elements(tables.table, bits_up, bits_dn)
+    if cfg.time_sym:
+        # ts diagonal cross term z*<i|H|rev_i> for non-self-symmetric
+        # representatives (ref hamiltonian_chem_time_sym diagonal branch)
+        cross = slater.pair_matrix_elements(tables.table, bits_up, bits_dn,
+                                            bits_dn, bits_up)
+        selfs_d = jnp.all(state.up == state.dn, axis=1)
+        diag_new = diag_new + jnp.where(selfs_d, 0.0, cfg.z * cross)
     diag = jnp.where(need_diag, diag_new, state.diag)
     diag_factor = 1.0 + tau * (e_trial - diag)
     diag_factor = jnp.maximum(diag_factor, 0.0)   # clamp (ref :3788)
@@ -1473,6 +1523,27 @@ def walk_block(state: WalkState, tables: WalkTables, cfg: WalkConfig,
     return jax.lax.scan(body, state, None, length=nstep)
 
 
+def grow_walk_state(state: WalkState, cfg_new: WalkConfig) -> WalkState:
+    """Pad a walker state into larger-capacity arrays (mwalk growth;
+    ref MWALK auto-size, do_walk.f90:652-674)."""
+    M_old = state.up.shape[0]
+    M = cfg_new.mwalk
+    W = state.up.shape[1]
+    if M == M_old:
+        return state._replace(overflow=jnp.asarray(False))
+    pad = M - M_old
+    return state._replace(
+        up=jnp.concatenate([state.up,
+                            jnp.full((pad, W), jnp.uint64(SENTINEL))]),
+        dn=jnp.concatenate([state.dn,
+                            jnp.full((pad, W), jnp.uint64(SENTINEL))]),
+        wt=jnp.concatenate([state.wt, jnp.zeros(pad)]),
+        init=jnp.concatenate([state.init, jnp.zeros(pad, jnp.int32)]),
+        imp=jnp.concatenate([state.imp, jnp.full(pad, 10 ** 6, jnp.int32)]),
+        diag=jnp.concatenate([state.diag, jnp.full(pad, 1e51)]),
+        overflow=jnp.asarray(False))
+
+
 def end_of_block(state: WalkState) -> WalkState:
     """Roll the block accumulators into the blkabs cumulants
     (ref: do_walk.f90 block-end bookkeeping)."""
@@ -1498,6 +1569,8 @@ class WalkResult:
     steps_per_sec: float
     state: WalkState
     spawn_hist: np.ndarray | None = None   # log2 |spawn wt| bins (scan mode)
+    t_corr: float = float("nan")           # autocorrelation factor
+    reblock_curve: list | None = None      # [(block_size, err), ...]
 
 
 def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
@@ -1533,6 +1606,7 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
 
     e_blocks = []
     w_trace, n_trace = [], []
+    num_trace, den_trace = [], []
     t_measured = 0.0
     n_measured = 0
     spawn_hist = np.zeros(N_HIST_BINS, np.int64)
@@ -1551,19 +1625,54 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
     cfg_growth = dataclasses.replace(cfg, cap_new=cfg.cap_spawn) \
         if not cfg.full_sort_merge else cfg
 
+    max_capacity_grows = 4
+    grows = 0
     while iblk < n_eq_planned + nblk:
         equil = iblk < n_eq_planned
         if not equil:
             state = state._replace(equilibrated=jnp.asarray(True))
         cfg_blk = cfg_growth if equil else cfg
+        # snapshot for overflow retry (per-step mode donates the state
+        # buffers into walk_step, so it needs a real copy)
+        state_blk_start = state if mode == "scan" else \
+            jax.tree_util.tree_map(jnp.copy, state)
         t0 = time.time()
         if mode == "scan":
             # whole block in one device dispatch
             state, stats = walk_block(state, tables, cfg_blk, nstep)
             jax.block_until_ready(state.wt)
-            dt = time.time() - t0
+        else:
+            for istep in range(nstep):
+                state, st_ = walk_step(state, tables, cfg_blk)
+            jax.block_until_ready(state.wt)
+        if bool(state.overflow):
+            # capacity escalation (ref MWALK auto-size do_walk.f90:652):
+            # double the capacities and RERUN the block from its start
+            # state - the overflowing pass dropped walkers, so its output
+            # must not be used
+            if grows >= max_capacity_grows:
+                raise RuntimeError(
+                    "walker/spawn capacity exceeded after "
+                    f"{grows} growth retries (mwalk={cfg.mwalk}, "
+                    f"cap_spawn={cfg.cap_spawn})")
+            grows += 1
+            cfg = dataclasses.replace(cfg, mwalk=2 * cfg.mwalk,
+                                      cap_spawn=2 * cfg.cap_spawn)
+            cfg_growth = dataclasses.replace(cfg, cap_new=cfg.cap_spawn) \
+                if not cfg.full_sort_merge else cfg
+            if verbose:
+                print(f"capacity overflow: growing to mwalk={cfg.mwalk} "
+                      f"cap_spawn={cfg.cap_spawn}, rerunning block "
+                      f"{iblk + 1}", flush=True)
+            state = grow_walk_state(state_blk_start, cfg)
+            continue
+        dt = time.time() - t0
+        if mode == "scan":
             blk_num = float(jnp.sum(stats["e_num_gen"]))
             blk_den = float(jnp.sum(stats["e_den_gen"]))
+            if not equil:
+                num_trace.extend(np.asarray(stats["e_num_gen"]).tolist())
+                den_trace.extend(np.asarray(stats["e_den_gen"]).tolist())
             w_trace.extend(np.asarray(stats["w_abs_gen"]).tolist())
             n_trace.extend(np.asarray(stats["nwalk"]).tolist())
             spawn_hist += np.asarray(jnp.sum(stats["spawn_hist"], axis=0),
@@ -1578,14 +1687,10 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
                              f"{wa[j]:.2f} {eg[j]:.9f} {nw[j]}\n")
             gstep += nstep
         else:
-            # async per-step dispatch; the block sums live in the state's
-            # on-device accumulators, so the host fetches only a handful of
-            # scalars per block (per-step traces are skipped in this mode -
-            # every extra fetch is a round trip on high-latency links)
-            for istep in range(nstep):
-                state, st_ = walk_step(state, tables, cfg_blk)
-            jax.block_until_ready(state.wt)
-            dt = time.time() - t0
+            # per-step mode: the block sums live in the state's on-device
+            # accumulators, so the host fetches only a handful of scalars
+            # per block (per-step traces are skipped in this mode - every
+            # extra fetch is a round trip on high-latency links)
             blk_num = float(state.e_num_blk)
             blk_den = float(state.e_den_blk)
             w_trace.append(float(state.w_abs_gen))
@@ -1593,9 +1698,6 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
         if not equil:
             t_measured += dt
             n_measured += nstep
-        if bool(state.overflow):
-            raise RuntimeError("walker/spawn capacity exceeded; increase "
-                               "mwalk/cap_spawn")
         e_blk = blk_num / blk_den if blk_den != 0 else np.nan
         if not equil:
             e_blocks.append(e_blk)
@@ -1636,8 +1738,29 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
     e_mean = float(np.mean(e_blocks))
     e_err = float(np.std(e_blocks, ddof=1) / np.sqrt(len(e_blocks))) \
         if len(e_blocks) > 1 else float("nan")
+    t_corr = float("nan")
+    rb = None
+    if len(num_trace) >= 32:
+        # per-generation analysis: covariance-corrected ratio error with
+        # autocorrelation + Flyvbjerg-Petersen reblocking plateau (ref
+        # blocking + t_corr analysis, do_walk.f90:2952-3190); report the
+        # most conservative of the three error estimates
+        from ..utils.blocking import ratio_stats, reblock
+        num = np.asarray(num_trace)
+        den = np.asarray(den_trace)
+        bs = ratio_stats(num, den)
+        e_mean = bs.e_mean
+        t_corr = bs.t_corr
+        ratio = num / np.where(den == 0, 1e-300, den)
+        rb = reblock(ratio)
+        err_rb = max((e for s, e in rb if len(ratio) // s >= 8),
+                     default=0.0)
+        cands = [bs.e_err, err_rb] + \
+            ([e_err] if np.isfinite(e_err) else [])
+        e_err = float(max(cands))
     return WalkResult(e_mixed=e_mean, e_err=e_err, e_blocks=e_blocks,
                       w_abs_trace=np.asarray(w_trace),
                       nwalk_trace=np.asarray(n_trace),
                       steps_per_sec=n_measured / t_measured if t_measured else 0.0,
-                      state=state, spawn_hist=spawn_hist)
+                      state=state, spawn_hist=spawn_hist,
+                      t_corr=t_corr, reblock_curve=rb)

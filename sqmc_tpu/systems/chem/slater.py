@@ -47,18 +47,26 @@ def diag_elements(table: IntegralTable, bits_up: jnp.ndarray,
     X = table.exchange
     Dd = jnp.diagonal(D)  # == (pp|pp) == diagonal of X as well
 
-    one_body = (u + d) @ h_diag
+    # ONE fused matmul: rows = [u; d], columns = [D | X | h_diag+Dd-combos]
+    # (f64 matmuls are software-emulated on the MXU, so op count matters
+    # more than flops at these tiny sizes)
+    norb = u.shape[-1]
+    B = u.shape[0]
+    A = jnp.concatenate([D, X, h_diag[:, None], Dd[:, None]],
+                        axis=1)                      # [norb, 2*norb+2]
+    both = jnp.concatenate([u, d], axis=0)           # [2B, norb]
+    out = both @ A                                   # [2B, 2*norb+2]
+    uD, dD = out[:B, :norb], out[B:, :norb]
+    uX, dX = out[:B, norb:2 * norb], out[B:, norb:2 * norb]
+    u_h, d_h = out[:B, 2 * norb], out[B:, 2 * norb]
+    u_Dd, d_Dd = out[:B, 2 * norb + 1], out[B:, 2 * norb + 1]
 
-    uD = u @ D
-    dD = d @ D
-    uX = u @ X
-    dX = d @ X
-
-    direct = 0.5 * (jnp.sum(uD * u, axis=-1) - u @ Dd) \
-           + 0.5 * (jnp.sum(dD * d, axis=-1) - d @ Dd) \
+    one_body = u_h + d_h
+    direct = 0.5 * (jnp.sum(uD * u, axis=-1) - u_Dd) \
+           + 0.5 * (jnp.sum(dD * d, axis=-1) - d_Dd) \
            + jnp.sum(uD * d, axis=-1)
-    exch = -0.5 * (jnp.sum(uX * u, axis=-1) - u @ Dd) \
-           - 0.5 * (jnp.sum(dX * d, axis=-1) - d @ Dd)
+    exch = -0.5 * (jnp.sum(uX * u, axis=-1) - u_Dd) \
+           - 0.5 * (jnp.sum(dX * d, axis=-1) - d_Dd)
     return table.core_energy + one_body + direct + exch
 
 

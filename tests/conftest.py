@@ -21,3 +21,46 @@ jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(__file__))
 sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (deselect with -m 'not slow' "
+        "for the fast tier; CI target < 5 min)")
+
+
+# Long-running tests (measured >= ~30 s) get the `slow` marker centrally;
+# the fast tier is `pytest -m "not slow"` (target < 5 min).
+_SLOW_TESTS = {
+    "test_heg_i_st_e2e",
+    "test_heg_i_det_e2e",
+    "test_hubbard2_fixed_node_from_cards",
+    "test_sharded_walk_unbiased",
+    "test_capacity_escalation",
+    "test_walk_chem_proposals_unbiased",
+    "test_walk_uniform_proposal_unbiased",
+    "test_walk_stochastic_unbiased",
+    "test_walk_exact_deterministic_limit",
+    "test_walk_hubbardk_vs_fci",
+    "test_importance_sampling_unbiased",
+    "test_release_node_recovers_exact",
+    "test_fixed_node_matches_dense_oracle",
+    "test_table_guiding_matches_gutzwiller",
+    "test_hci_energy_identical",
+    "test_pt_identical",
+    "test_triplet_sector_higher",
+    "test_run_eps_series_extrapolation",
+    "test_pt_memory_autosize_and_reuse",
+    "test_active_space_restricts_and_raises_energy",
+    "test_semistochastic_pt_golden",
+    "test_ts_walk_stochastic_unbiased",
+    "test_curve_goldens_reproduce",
+    "test_walkalize_and_histogram",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+    for item in items:
+        if item.name.split("[")[0] in _SLOW_TESTS:
+            item.add_marker(_pytest.mark.slow)

@@ -116,3 +116,36 @@ def test_expand_time_symmetrized_energy_invariant(runs):
     assert e == pytest.approx(float(r_ts.energies[0]), abs=1e-8)
     g = get_1rdm(plain, up2, dn2, w2)
     assert np.trace(g) == pytest.approx(plain.nup + plain.ndn, abs=1e-9)
+
+
+def test_curve_goldens_reproduce(tmp_path):
+    """Full i_1sigma_g workload at r1.24253 through the CLI (eps_var sched
+    2x2e-3 -> 1e-3, eps_pt=1e-7 deterministic PT, 2 states) must reproduce
+    the committed self-generated goldens digit-for-digit (the whole
+    pipeline is deterministic)."""
+    import json
+    import os
+    import re
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "goldens", "c2_curve.json")) as f:
+        gold = json.load(f)["r1.24253/i_1sigma_g"]
+    out = subprocess.run(
+        [sys.executable, "-m", "sqmc_tpu", "-i",
+         "/root/reference/C2_v2z_curve/r1.24253/i_1sigma_g",
+         "-f", "/root/reference/C2_v2z_curve/r1.24253/FCIDUMP", "--cpu"],
+        capture_output=True, text=True, cwd=os.path.dirname(here),
+        timeout=590)
+    assert out.returncode == 0, out.stderr[-2000:]
+    text = out.stdout
+    m = re.search(r"Variational energy=\s*([-+0-9.]+)", text)
+    assert abs(float(m.group(1)) - gold["e_var"][0]) < 1e-7
+    tots = re.findall(r"Total energy\((\d)\)=\s*([-+0-9.]+)", text)
+    for i, (_, v) in enumerate(tots):
+        assert abs(float(v) - gold["e_tot"][i]) < 1e-7, (i, v)
+    m = re.search(r"ndets=\s*(\d+)", text.split("Final Iteration")[1])
+    # det count at the final iteration
+    m2 = re.search(r"Final Iteration\s+\d+\s+(\d+) dets", text)
+    assert int(m2.group(1)) == gold["ndets"]

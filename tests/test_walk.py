@@ -154,3 +154,21 @@ def test_walk_hubbardk_vs_fci():
                    w_abs_begin=1000.0, e_trial_initial=e0,
                    verbose=False, max_eq_extensions=0)
     assert abs(out.e_mixed - e0) < 6 * max(out.e_err, 5e-6) + 1e-4
+
+
+def test_capacity_escalation(tiny):
+    """Deliberately undersized capacities must grow and complete instead
+    of dying (ref MWALK auto-size, do_walk.f90:652-674)."""
+    sys_, res = tiny
+    trial = build_trial_wavefunction(sys_, eps_var=1e-3, n_psi_t=30, n_imp=1,
+                                     verbose=False)
+    cfg = WalkConfig(mwalk=64, cap_spawn=256, norb=sys_.norb, nup=2,
+                     ndn=2, n_words=1, tau=5e-3, w_abs_target=2000.0,
+                     has_singles=False, r_initiator=0.0)
+    out = run_walk(sys_, trial, cfg, nstep=50, nblk=3, nblk_eq=2,
+                   w_abs_begin=1000.0, e_trial_initial=res.energies[0],
+                   verbose=False, max_eq_extensions=0)
+    assert np.isfinite(out.e_mixed)
+    assert float(np.mean(out.w_abs_trace[-50:])) > 1000.0
+    tol = 8 * max(out.e_err, 5e-6) + 5e-5
+    assert abs(out.e_mixed - res.energies[0]) < tol
