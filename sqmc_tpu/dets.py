@@ -221,6 +221,58 @@ def count_below(words: jnp.ndarray, lo: jnp.ndarray,
     return popcount(words & win)
 
 
+def diff2_words(w_a: jnp.ndarray, w_b: jnp.ndarray):
+    """Ascending positions of the (at most 2) set bits of a & ~b, straight
+    from the packed words via isolate-lowest-bit tricks - no argsort, no
+    dense bit vectors (the excitation-extraction hot path of the sparse-H
+    builder; ref excitation analysis chemistry.f90:7162).
+
+    [..., W] x2 -> (pos0, pos1, count) int32; absent positions = 32767.
+    """
+    d = w_a & ~w_b
+    W = d.shape[-1]
+    BIG = jnp.int32(32767)
+    p0 = jnp.full(d.shape[:-1], BIG)
+    p1 = jnp.full(d.shape[:-1], BIG)
+    nf = jnp.zeros(d.shape[:-1], jnp.int32)
+    for w in range(W):
+        x = d[..., w]
+        for _ in range(2):
+            low = x & (~x + jnp.uint64(1))
+            q = jax.lax.population_count(
+                low - jnp.uint64(1)).astype(jnp.int32) + jnp.int32(64 * w)
+            have = x != 0
+            p0 = jnp.where(have & (nf == 0), q, p0)
+            p1 = jnp.where(have & (nf == 1), q, p1)
+            nf = nf + have.astype(jnp.int32)
+            x = x & (x - jnp.uint64(1))
+    return p0, p1, nf
+
+
+def double_sign_same_spin_words(wi: jnp.ndarray, wj: jnp.ndarray,
+                                p, q, r, s) -> jnp.ndarray:
+    """Fermion sign of a same-spin double {p,q}->{r,s} (p<q removed from
+    i, r<s added in j) from the packed words:
+    (-1)^popcount(wi & wj & (M(p)^M(r)^M(q)^M(s))), M(b) = bits < b
+    (ref: tools.f90 permutation_factor2:1342)."""
+    W = wi.shape[-1]
+    if W == 1:
+        m = (_mask_lt_u64(p) ^ _mask_lt_u64(r) ^
+             _mask_lt_u64(q) ^ _mask_lt_u64(s))[..., None]
+    else:
+        mt = maskr_table(W)
+        m = mt[p] ^ mt[r] ^ mt[q] ^ mt[s]
+    n = popcount(wi & wj & m)
+    return jnp.where(n % 2 == 0, 1.0, -1.0)
+
+
+def single_sign_words(wi: jnp.ndarray, p, r) -> jnp.ndarray:
+    """Fermion sign of a single p->r from the packed source words (p
+    occupied, r empty): (-1)^(occupied strictly between p and r)."""
+    n = count_below(wi, p, r) - (p < r).astype(jnp.int32)
+    return jnp.where(n % 2 == 0, 1.0, -1.0)
+
+
 def excitation_count(words_i: jnp.ndarray, words_j: jnp.ndarray) -> jnp.ndarray:
     """Number of excitations between two same-spin strings:
     popcount(i & ~j)  (ref: tools.f90 count_excitations:1399)."""

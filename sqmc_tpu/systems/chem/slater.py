@@ -207,6 +207,47 @@ def pair_matrix_elements(table: IntegralTable, bits_up_i, bits_dn_i,
 
 
 # ---------------------------------------------------------------------------
+# Word-level per-class kernels (the sparse-H builder's hot path): the
+# excitation pattern is known per pair class, so no argsort diff
+# extraction, no dense bit rows for doubles, no dead branches
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def same_spin_double_words(table: IntegralTable, wi, wj):
+    """Signed same-spin double element from packed words of the excited
+    spin channel. [B, W] x2 -> [B] float64."""
+    p, q, _ = dets.diff2_words(wi, wj)
+    r, s, _ = dets.diff2_words(wj, wi)
+    val = table.eri_value(p, r, q, s) - table.eri_value(p, s, q, r)
+    return dets.double_sign_same_spin_words(wi, wj, p, q, r, s) * val
+
+
+@jax.jit
+def opp_spin_double_words(table: IntegralTable, wu_i, wu_j, wd_i, wd_j):
+    """Signed opposite-spin double element from packed words."""
+    p, _, _ = dets.diff2_words(wu_i, wu_j)
+    r, _, _ = dets.diff2_words(wu_j, wu_i)
+    q, _, _ = dets.diff2_words(wd_i, wd_j)
+    s, _, _ = dets.diff2_words(wd_j, wd_i)
+    val = table.eri_value(p, r, q, s)
+    return dets.single_sign_words(wu_i, p, r) * \
+        dets.single_sign_words(wd_i, q, s) * val
+
+
+@functools.partial(jax.jit, static_argnames=("norb",))
+def single_words(table: IntegralTable, w_same_i, w_same_j, w_other_i,
+                 norb: int):
+    """Signed single-excitation element from packed words (the occupancy
+    rows are still needed for the sum over occupied orbitals)."""
+    p, _, _ = dets.diff2_words(w_same_i, w_same_j)
+    r, _, _ = dets.diff2_words(w_same_j, w_same_i)
+    bits_same = dets.to_bits(w_same_i, norb)
+    bits_other = dets.to_bits(w_other_i, norb)
+    return dets.single_sign_words(w_same_i, p, r) * \
+        single_element_no_sign(table, bits_same, bits_other, p, r)
+
+
+# ---------------------------------------------------------------------------
 # Time-reversal symmetrized elements (ref: hamiltonian_chem_time_sym:1355)
 # ---------------------------------------------------------------------------
 

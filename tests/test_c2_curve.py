@@ -149,3 +149,14 @@ def test_curve_goldens_reproduce(tmp_path):
     # det count at the final iteration
     m2 = re.search(r"Final Iteration\s+\d+\s+(\d+) dets", text)
     assert int(m2.group(1)) == gold["ndets"]
+
+
+def test_variational_scale_100k():
+    """Scale demonstration (VERDICT r1 item 5): the variational pipeline
+    reaches ~88k dets at eps_var=2e-4 on the C2 CAS in ~1 min (182k at
+    1e-4 in ~3.5 min), with deterministic energies."""
+    sys_ = make_chem_system(FCIDUMP)
+    res = run_hci(sys_, eps_var=2e-4, eps_var_sched=[1e-3, 5e-4, 2e-4],
+                  verbose=False)
+    assert len(res.up) == 87930
+    assert res.energies[0] == pytest.approx(-75.725698551, abs=1e-8)
