@@ -173,7 +173,14 @@ def run_hci(system, eps_var: float, eps_var_sched=None, n_states: int = 1,
         min_H_done = np.minimum(min_H_done, eps_per_ref)
 
         if len(cu):
-            cu, cd, _, _ = setalg.unique_dets(cu, cd)
+            if mesh is not None and len(cu) > 20000:
+                # distributed owner-filtered dedup (SURVEY P5; ref
+                # mpi_merge_sort2): route candidates to their det-hash
+                # owner shard, sort/unique per shard, gather
+                from ..parallel.dist import sharded_unique_dets
+                cu, cd = sharded_unique_dets(mesh, cu, cd)
+            else:
+                cu, cd, _, _ = setalg.unique_dets(cu, cd)
             new_mask = setalg.setdiff_dets(cu, cd, up, dn)
             cu, cd = cu[new_mask], cd[new_mask]
         if len(cu) and active_space is not None:

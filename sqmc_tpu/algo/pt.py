@@ -91,7 +91,8 @@ def second_order_pt_alias(system, up, dn, wts, var_energy: float,
                           eps_pt: float, eps_pt_big: float, n_mc: int,
                           target_error: float, pt_big: float,
                           seed: int = 0, max_samples: int = 10 ** 6,
-                          min_samples: int = 10, verbose: bool = True):
+                          min_samples: int = 10, verbose: bool = True,
+                          mesh=None):
     """Semistochastic difference estimator (ref: hci.f90:1314).
 
     For each sample: draw n_mc refs iid with p ~ |c|, compress duplicates to
@@ -103,7 +104,30 @@ def second_order_pt_alias(system, up, dn, wts, var_energy: float,
       sum_{a not in V} [term1^2 + term2 - term1_big^2 - term2_big]
         / (E - H_aa) / (n_mc (n_mc-1)).
     Welford mean/variance until std < target_error (ref: tools.f90 welford).
+
+    mesh: optional jax.sharding.Mesh - replicated-stream distributed PT
+    (SURVEY P6; ref shared alias seed do_walk.f90:233 + round-robin split
+    hci.f90:1482): every device sees the SAME sample stream, keeps only
+    the external-det contributions it owns (det-hash ownership), and a
+    psum over the mesh assembles each sample estimate.  Bitwise-identical
+    to the single-device path up to float reduction order.
     """
+    masked_psum = None
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from ..parallel.dist import det_owner_np
+
+        n_dev = mesh.devices.size
+
+        def _own_sum(contrib, owner):
+            i = jax.lax.axis_index("d")
+            return jax.lax.psum(
+                jnp.sum(jnp.where(owner == i, contrib, 0.0)), "d")
+
+        masked_psum = jax.jit(shard_map(
+            _own_sum, mesh=mesh, in_specs=(P(), P()), out_specs=P()))
+
     n = len(up)
     absw = np.abs(wts)
     norm = absw.sum()
@@ -145,7 +169,13 @@ def second_order_pt_alias(system, up, dn, wts, var_energy: float,
                                 z=system.z)
         contrib = (T1[ext] ** 2 + T2[ext] - T1b[ext] ** 2 - T2b[ext]) \
             / (var_energy - dex)
-        e_sample = float(np.sum(contrib)) / (n_mc * (n_mc - 1))
+        if masked_psum is not None:
+            owner = det_owner_np(cu_u[ext], cd_u[ext], n_dev)
+            tot = float(masked_psum(jnp.asarray(contrib),
+                                    jnp.asarray(owner)))
+        else:
+            tot = float(np.sum(contrib))
+        e_sample = tot / (n_mc * (n_mc - 1))
 
         nsamp += 1
         d = e_sample - mean
@@ -203,7 +233,7 @@ def do_pt(system, up, dn, wts, diag, var_energy: float, eps_var: float,
           eps_pt: float, eps_pt_big: float = -1.0, target_error: float = -1.0,
           n_mc: int = -1, n_max_connections: int = 40_000_000,
           seed: int = 0, verbose: bool = True,
-          eps_pt_big_energy: float | None = None):
+          eps_pt_big_energy: float | None = None, mesh=None):
     """PT driver: deterministic if the estimated connection count fits,
     else semistochastic with an auto-chosen eps_pt_big
     (ref: hci.f90 do_pt:4148).
@@ -261,7 +291,7 @@ def do_pt(system, up, dn, wts, diag, var_energy: float, eps_var: float,
         target_error = 1e-4
     res = second_order_pt_alias(system, up, dn, wts, var_energy, eps_pt,
                                 eps_pt_big, n_mc, target_error, pt_big,
-                                seed=seed, verbose=verbose)
+                                seed=seed, verbose=verbose, mesh=mesh)
     pt_total = pt_big + res.pt_diff
     if verbose:
         print(f"Variational energy={var_energy:26.9f}")

@@ -195,6 +195,75 @@ def shard_imp_space(imp_up, imp_dn, imp_ham, n_dev):
     return su, sd, rows, cols, vals, m
 
 
+def sharded_unique_dets(mesh: Mesh, up: np.ndarray, dn: np.ndarray):
+    """Distributed candidate dedup (SURVEY P5; ref mpi_merge_sort2,
+    mpi_routines.f90:2625 - owner-filtered distributed merge-sort).
+
+    Candidates are split round-robin across the mesh, routed to their
+    det-hash owner shard by all_to_all, sorted + uniqued per shard, and
+    gathered (shards are disjoint by ownership, so the result is globally
+    unique).  Returns (up_u, dn_u) sorted by det key.
+    """
+    from jax import shard_map
+    from ..ops import setalg
+    from ..algo.walk import SENTINEL
+
+    n_dev = int(mesh.devices.size)
+    n = len(up)
+    W = up.shape[1]
+    if n == 0:
+        return up, dn
+    # per-shard input length; x2 slack for ownership imbalance in the
+    # all_to_all buckets (uniform hash keeps shards balanced)
+    L = 2 * (-(-n // n_dev))
+    L = -(-L // n_dev) * n_dev     # multiple of n_dev for the bucketing
+    sup = np.full((n_dev, L, W), SENTINEL, np.uint64)
+    sdn = np.full((n_dev, L, W), SENTINEL, np.uint64)
+    val = np.zeros((n_dev, L), bool)
+    for d in range(n_dev):
+        chunk_u = up[d::n_dev]
+        chunk_d = dn[d::n_dev]
+        sup[d, :len(chunk_u)] = chunk_u
+        sdn[d, :len(chunk_d)] = chunk_d
+        val[d, :len(chunk_u)] = True
+
+    def _local(u, d, v):
+        u, d, v = u[0], d[0], v[0]
+        owner = det_owner_jnp(u, d, n_dev)
+        routed, v2, ovf = route_spawns("d", n_dev, owner, v,
+                                       dict(up=u, dn=d))
+        u2 = jnp.where(v2[:, None], routed["up"], jnp.uint64(SENTINEL))
+        d2 = jnp.where(v2[:, None], routed["dn"], jnp.uint64(SENTINEL))
+        # local sort (most-significant-word-first, up-major) + unique mask
+        keys = tuple([u2[:, w] for w in range(W - 1, -1, -1)] +
+                     [d2[:, w] for w in range(W - 1, -1, -1)])
+        sorted_ = jax.lax.sort(keys, num_keys=2 * W)
+        su = jnp.stack(sorted_[:W][::-1], axis=1)
+        sd = jnp.stack(sorted_[W:][::-1], axis=1)
+        neq = jnp.ones(L, bool).at[1:].set(
+            jnp.any(su[1:] != su[:-1], axis=1) |
+            jnp.any(sd[1:] != sd[:-1], axis=1))
+        uniq = neq & jnp.all(su != jnp.uint64(SENTINEL), axis=1)
+        return su[None], sd[None], uniq[None], ovf[None]
+
+    P_ = P("d")
+    fn = jax.jit(shard_map(_local, mesh=mesh,
+                           in_specs=(P_, P_, P_),
+                           out_specs=(P_, P_, P_, P_)))
+    su, sd, uniq, ovf = fn(jnp.asarray(sup), jnp.asarray(sdn),
+                           jnp.asarray(val))
+    if bool(np.any(np.asarray(ovf))):
+        # bucket overflow (pathological ownership skew): host fallback
+        u_u, d_u, _, _ = setalg.unique_dets(up, dn)
+        return u_u, d_u
+    su = np.asarray(su).reshape(n_dev * L, W)
+    sd = np.asarray(sd).reshape(n_dev * L, W)
+    uniq = np.asarray(uniq).reshape(-1)
+    out_u, out_d = su[uniq], sd[uniq]
+    order = setalg.lexsort_dets(out_u, out_d)
+    return out_u[order], out_d[order]
+
+
 # ---------------------------------------------------------------------------
 # Sharded Davidson matvec (SURVEY P4: davidson_sparse_mpi2 analog)
 # ---------------------------------------------------------------------------
