@@ -120,9 +120,22 @@ def run_hci(system, eps_var: float, eps_var_sched=None, n_states: int = 1,
 
     # variational wavefunction cache (ref: hci.f90 wf_eps_var=<eps> files)
     if wf_cache_dir is not None:
+        import os
         from ..utils.checkpoint import load_wf_var, wf_var_filename
         fname = wf_var_filename(min(eps_var_sched or [eps_var]), wf_cache_dir)
         cached = load_wf_var(fname)
+        if cached is None and os.path.exists(fname):
+            # a REFERENCE-generated unformatted cache (interop,
+            # SURVEY 5.4): read it and compute the diagonal here
+            from ..utils.refio import read_wf_eps_var
+            from .sparseham import build_sparse_ham as _bsh
+            u_r, d_r, w_r, e_r = read_wf_eps_var(fname, system.norb)
+            order = setalg.lexsort_dets(u_r, d_r)
+            H_r = _bsh(system.table, u_r[order], d_r[order], system.nup,
+                       system.ndn, system.norb, time_sym=system.time_sym,
+                       z=system.z)
+            cached = dict(up=u_r[order], dn=d_r[order], wts=w_r[order],
+                          energies=e_r, diag=H_r.diag)
         if cached is not None and cached["wts"].shape[1] >= n_states:
             if verbose:
                 print(f"Reading variational wavefn from {fname}", flush=True)

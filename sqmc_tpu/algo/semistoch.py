@@ -101,6 +101,55 @@ def build_trial_wavefunction(system, eps_var: float = 2e-3,
                              imp_ham=imp_ham)
 
 
+def load_trial_from_reference(system, psit_con_file: str,
+                              dtm_file: str | None = None,
+                              n_imp: int = 1) -> TrialWavefunction:
+    """TrialWavefunction from REFERENCE-generated restart artifacts
+    (interop, SURVEY 5.4): psit_connections supplies Psi_T and the C(T)
+    local-energy cache (ref do_walk.f90:687-878), dtm_projector supplies
+    the deterministic space + its Hamiltonian (ref :887-1012).  Without a
+    dtm file, the top-|c| n_imp Psi_T dets form the space and H is built
+    here."""
+    from ..utils.refio import read_psit_connections, read_dtm_projector
+
+    d = read_psit_connections(psit_con_file, system.nup, system.ndn,
+                              system.norb)
+    order = setalg.lexsort_dets(d["ct_up"], d["ct_dn"])
+    cu, cd = d["ct_up"][order], d["ct_dn"][order]
+    num, den = d["ct_num"][order], d["ct_den"][order]
+    po = setalg.lexsort_dets(d["psit_up"], d["psit_dn"])
+    pu, pd_, pc = d["psit_up"][po], d["psit_dn"][po], d["psit_coef"][po]
+
+    if dtm_file is not None:
+        iu, idn, imp_ham = read_dtm_projector(dtm_file, system.nup,
+                                              system.ndn, system.norb)
+        io = setalg.lexsort_dets(iu, idn)
+        # re-sort the COO to the sorted det order (restore rows < cols)
+        inv = np.empty(len(io), np.int64)
+        inv[io] = np.arange(len(io))
+        r2 = inv[imp_ham.rows]
+        c2 = inv[imp_ham.cols]
+        imp_ham = SparseHam(n=imp_ham.n,
+                            rows=np.minimum(r2, c2).astype(np.int32),
+                            cols=np.maximum(r2, c2).astype(np.int32),
+                            vals=imp_ham.vals, diag=imp_ham.diag[io])
+        iu, idn = iu[io], idn[io]
+    else:
+        iu, idn, _ = _top_by_coef(pu, pd_, pc, n_imp)
+        imp_ham = build_sparse_ham(system.table, iu, idn, system.nup,
+                                   system.ndn, system.norb,
+                                   time_sym=system.time_sym, z=system.z)
+
+    e_trial = d["e_trial"]
+    if not np.isfinite(e_trial):
+        e_trial = float(num[0] / den[0]) if den[0] else 0.0
+    return TrialWavefunction(psit_up=pu, psit_dn=pd_,
+                             psit_coef=pc / np.linalg.norm(pc),
+                             e_trial=float(e_trial), ct_up=cu, ct_dn=cd,
+                             ct_num=num, ct_den=den, imp_up=iu, imp_dn=idn,
+                             imp_ham=imp_ham)
+
+
 def save_trial(trial: TrialWavefunction, path: str):
     """Serialize a trial wavefunction (the SQMC checkpoint analog of the
     reference's psit/psit_connections/dtm_projector files; ref:
