@@ -183,8 +183,11 @@ class WalkTables(NamedTuple):
     2-wide f64 rows so each logical lookup is ONE HBM gather (ref tables:
     chemistry.f90 setup_efficient_heatbath:872/dtm_hb + setup_alias,
     more_tools.f90:5603)."""
-    hb_rsval: jnp.ndarray        # [n_tot, 2] f64: (r*norb+s, signed value)
-    hb_alias: jnp.ndarray        # [n_tot, 2] f64: (alias q, alias J)
+    hb_rssign: jnp.ndarray       # [n_tot] f32: sign(H) * (r*norb+s + 1)
+    #                              (fast_heatbath needs only the target
+    #                              pair and the element SIGN - the spawn
+    #                              magnitude is the constant W2tot form)
+    hb_alias: jnp.ndarray        # [n_tot, 2] f32: (alias q, alias J)
     hb_pack: jnp.ndarray         # [ntri_s + ntri_o, 3] f64
     #                              (start into concat arrays, count, rowsum)
     # singles upper-bound table (chem): U[p,r] (0 if symmetry-forbidden),
@@ -360,7 +363,8 @@ def build_walk_tables(system, trial, guide=None, cfg=None) -> WalkTables:
     for p_ in range(norb):
         if u_rowsum[p_] > 0:
             u_aliasJ[p_], u_aliasq[p_] = setup_alias_np(U[p_] / u_rowsum[p_])
-    u_alias = np.stack([u_aliasq, u_aliasJ.astype(np.float64)], axis=2)
+    u_alias = np.stack([u_aliasq, u_aliasJ.astype(np.float64)],
+                       axis=2).astype(np.float32)
 
     # row-complete symmetric COO (diag + both orientations of the stored
     # upper triangle) so the projection is a single segment-sum
@@ -418,10 +422,11 @@ def build_walk_tables(system, trial, guide=None, cfg=None) -> WalkTables:
     rs_cat = np.concatenate([np.asarray(hb.same_rs, np.float64),
                              np.asarray(hb.opp_rs, np.float64)])
     val_cat = np.concatenate([np.asarray(hb.same_val), np.asarray(hb.opp_val)])
-    hb_rsval = np.stack([rs_cat, val_cat], axis=1)
+    sgn = np.where(val_cat < 0, -1.0, 1.0)
+    hb_rssign = (sgn * (rs_cat + 1.0)).astype(np.float32)
     hb_alias = np.stack([np.concatenate([s_q, o_q]),
                          np.concatenate([s_J, o_J]).astype(np.float64)],
-                        axis=1)
+                        axis=1).astype(np.float32)
     # f32 row-pack when starts fit 24 bits exactly (the rowsum only shapes
     # the self-consistent pair-selection distribution); f64 beyond
     n_tot_hb = len(rs_cat)
@@ -434,7 +439,7 @@ def build_walk_tables(system, trial, guide=None, cfg=None) -> WalkTables:
     ).astype(pack_dtype)
 
     return WalkTables(
-        hb_rsval=jnp.asarray(hb_rsval), hb_alias=jnp.asarray(hb_alias),
+        hb_rssign=jnp.asarray(hb_rssign), hb_alias=jnp.asarray(hb_alias),
         hb_pack=jnp.asarray(hb_pack),
         u_table=jnp.asarray(U), u_rowsum=jnp.asarray(u_rowsum),
         u_alias=jnp.asarray(u_alias),
@@ -804,18 +809,19 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         # O(1) in-row target draw ~ |H| via per-row alias tables (ref:
         # setup_alias/sample_alias, more_tools.f90:5603,5665): uniform
         # slot, then accept-or-alias.  The same/opp families are
-        # concatenated and (q,J)/(rs,val) packed 2-wide, so the draw is
-        # exactly TWO HBM gathers with no same/opp select.
+        # concatenated; (q,J) is one f32 pair gather and the target is
+        # ONE f32 gather of sign(H)*(rs+1) - only the element's SIGN
+        # matters here (the spawn magnitude is the constant W2tot form).
         n_cat = tables.hb_alias.shape[0]
         slot = jnp.minimum((ue * ct).astype(jnp.int32),
                            jnp.maximum(ct - 1, 0))
         i0 = jnp.clip(st + slot, 0, n_cat - 1)
         aq = tables.hb_alias[i0]                          # [CAP, 2]
-        rank = jnp.where(ua2 < aq[:, 0], slot,
+        rank = jnp.where(ua2.astype(jnp.float32) < aq[:, 0], slot,
                          aq[:, 1].astype(jnp.int32))
-        rv = tables.hb_rsval[jnp.clip(st + rank, 0, n_cat - 1)]   # [CAP, 2]
-        rs = rv[:, 0].astype(jnp.int32)
-        val_tab = rv[:, 1]
+        rv = tables.hb_rssign[jnp.clip(st + rank, 0, n_cat - 1)]  # [CAP]
+        rs = jnp.abs(rv).astype(jnp.int32) - 1
+        val_tab = rv.astype(jnp.float64)   # sign carrier only
         r_tab = rs // norb
         s_tab = rs % norb
         sw = opp & (pp > qq)
@@ -923,8 +929,8 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         # accept - ua2 is reused from the doubles branch; each slot takes
         # exactly one branch so the streams never interact)
         slot_r = jnp.minimum((ue * norb).astype(jnp.int32), norb - 1)
-        aq_s = tables.u_alias[p_s, slot_r]                # [CAP, 2]
-        r_s = jnp.where(ua2 < aq_s[:, 0], slot_r,
+        aq_s = tables.u_alias[p_s, slot_r]                # [CAP, 2] f32
+        r_s = jnp.where(ua2.astype(jnp.float32) < aq_s[:, 0], slot_r,
                         aq_s[:, 1].astype(jnp.int32))
         r_s_occ = jnp.where(e_up, bits_up[b, r_s] != 0, bits_dn[b, r_s] != 0)
         # exact single element; sign by mask-window popcount on the packed
@@ -1184,8 +1190,15 @@ def _full_sort_merge(state, cfg, key_red, alive, wt_par, diag,
     in_D = g_u[gid] == 0
     # discard stochastic D->D spawns (ref merge rule :5947)
     drop = (code == 1) & in_D
-    g_wt = jax.ops.segment_sum(jnp.where(drop, 0.0, s_wt), gid,
-                               num_segments=N, indices_are_sorted=True)
+    wtc = jnp.where(drop, 0.0, s_wt)
+    # group weights for the keep/initiator/rounding DECISIONS are f32
+    # (f64 scatter-adds are ~8x slower on TPU); the OUTPUT weight is the
+    # exact f64 row sum, scatter-added directly into the output slots
+    # below.  The only effect: near-cancellation groups (|sum| ~ 1e-16)
+    # may flip a keep/round decision - a <=1e-16 weight perturbation.
+    g_wt = jax.ops.segment_sum(wtc.astype(jnp.float32), gid,
+                               num_segments=N,
+                               indices_are_sorted=True).astype(jnp.float64)
     g_init = jax.ops.segment_max(init_row, gid, num_segments=N,
                                  indices_are_sorted=True)
 
@@ -1195,7 +1208,13 @@ def _full_sort_merge(state, cfg, key_red, alive, wt_par, diag,
 
     g_init = _initiator_update(cfg, g_wt, g_init, g_imp)
     keep = g_valid & ~(((g_wt == 0.0) | (g_init == 0)) & (g_imp >= 1))
-    g_wt, keep = _min_wt_round(cfg, key_red, g_wt, keep, g_imp)
+    # stochastic min_wt rounding (ref reduce_my_walker:7196); the rounded
+    # replacement is applied post-compaction on the exact row sums
+    u_rnd = jax.random.uniform(key_red, (N,))
+    tiny = keep & (g_imp >= 1) & (jnp.abs(g_wt) < cfg.min_wt)
+    kill = tiny & (u_rnd >= jnp.abs(g_wt) / cfg.min_wt)
+    rounded = tiny & ~kill
+    keep = keep & ~kill
 
     # ---------------- compact to [M] ---------------------------------------
     # group-space scatters for the merged payloads; the KEYS compact from
@@ -1207,24 +1226,37 @@ def _full_sort_merge(state, cfg, key_red, alive, wt_par, diag,
     overflow = overflow | (nwalk_new > M)
     dest = jnp.where(keep, pos, M)   # out-of-range dropped by mode="drop"
 
-    row_keep = neq & keep[gid]
-    dest_row = jnp.where(row_keep, pos[gid], M)
+    kg = keep[gid]
+    pg = pos[gid]
+    row_keep = neq & kg
+    dest_row = jnp.where(row_keep, pg, M)
 
     def scat64(dst, template_u64, vals_u64):
         # 64-bit scatters lower to a slow path on TPU; two explicit u32
-        # plane scatters are ~4x cheaper and bit-exact
+        # plane scatters are ~4x cheaper and bit-exact.  Kept destinations
+        # are unique by construction (out-of-range rows are dropped).
         hi = jnp.full(M, jnp.uint32(template_u64 >> jnp.uint64(32))).at[
             dst].set((vals_u64 >> jnp.uint64(32)).astype(jnp.uint32),
-                     mode="drop")
+                     mode="drop", unique_indices=True)
         lo = jnp.full(M, jnp.uint32(template_u64 & jnp.uint64(0xFFFFFFFF))
-                      ).at[dst].set(vals_u64.astype(jnp.uint32), mode="drop")
+                      ).at[dst].set(vals_u64.astype(jnp.uint32),
+                                    mode="drop", unique_indices=True)
         return (hi.astype(jnp.uint64) << jnp.uint64(32)) | \
             lo.astype(jnp.uint64)
 
     out_keys = [scat64(dest_row, SENT, k) for k in s_keys]
-    out_wt = jnp.zeros(M).at[dest].set(g_wt, mode="drop")
-    out_init = jnp.zeros(M, jnp.int32).at[dest].set(g_init, mode="drop")
-    out_imp = jnp.full(M, 10 ** 6, jnp.int32).at[dest].set(g_imp, mode="drop")
+    # exact f64 group sums, accumulated IN the output array (one f64
+    # scatter-add instead of an f64 segment-sum plus an f64 scatter)
+    out_wt_raw = jnp.zeros(M).at[jnp.where(kg, pg, M)].add(
+        wtc, mode="drop")
+    out_rnd = jnp.zeros(M, bool).at[dest].set(rounded, mode="drop",
+                                              unique_indices=True)
+    out_wt = jnp.where(out_rnd, jnp.sign(out_wt_raw) * cfg.min_wt,
+                       out_wt_raw)
+    out_init = jnp.zeros(M, jnp.int32).at[dest].set(g_init, mode="drop",
+                                                    unique_indices=True)
+    out_imp = jnp.full(M, 10 ** 6, jnp.int32).at[dest].set(
+        g_imp, mode="drop", unique_indices=True)
 
     if fused32:
         k = out_keys[0]

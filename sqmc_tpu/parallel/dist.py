@@ -401,7 +401,7 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
         e_num_blk=repl, e_den_blk=repl, w_abs_gen=repl, overflow=repl,
         step=repl)
     table_specs = WalkTables(
-        hb_rsval=repl, hb_alias=repl, hb_pack=repl,
+        hb_rssign=repl, hb_alias=repl, hb_pack=repl,
         u_table=repl, u_rowsum=repl, u_alias=repl,
         cs_c=repl, cs_rowsum=repl, cs_aliasJ=repl, cs_aliasq=repl,
         table=jax.tree_util.tree_map(lambda _: repl, base.table),
