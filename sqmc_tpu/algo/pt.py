@@ -212,7 +212,15 @@ def estimate_n_connections(system, up, dn, wts, eps: float,
                                  nup=system.nup, ndn=system.ndn)
     per_ref = float(jnp.sum(n_emit)) / len(take)
     if system.has_singles:
-        per_ref += system.nelec * 2.0  # coarse singles allowance
+        # singles per reference det: each occupied electron can move to
+        # any symmetry-allowed empty orbital of its irrep - counted from
+        # the orbital-symmetry multiplicities instead of a flat guess
+        sym = np.asarray(system.orb_sym_arr)
+        vals, counts = np.unique(sym, return_counts=True)
+        mult = dict(zip(vals.tolist(), counts.tolist()))
+        avg_targets = float(np.mean([mult[s] - 1 for s in sym.tolist()])) \
+            if len(sym) else 0.0
+        per_ref += system.nelec * max(avg_targets, 0.0)
     return int(per_ref * n)
 
 

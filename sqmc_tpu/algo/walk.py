@@ -1748,14 +1748,23 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
             from ..utils.checkpoint import save_walker_state
             save_walker_state(checkpoint_file, state)
 
-        # equilibration auto-extension (ref: do_walk.f90:2917+)
+        # equilibration auto-extension (ref: do_walk.f90:2917+): extend
+        # while the population is off target, or (with >= 3 block
+        # energies, so the spread estimate has at least 1 dof) while the
+        # last block drifts > 3 sigma from the earlier mean
         if (equil and iblk == n_eq_planned - 1 and
                 eq_extensions < max_eq_extensions and len(eq_energies) >= 2):
             pop_off = abs(float(state.w_abs_gen) - cfg.w_abs_target) \
                 > 0.1 * cfg.w_abs_target
-            sig = np.nanstd(eq_energies) or np.inf
-            drift = abs(eq_energies[-1] - np.nanmean(eq_energies[:-1])) \
-                > 3.0 * sig
+            drift = False
+            if len(eq_energies) >= 3:
+                prev = np.asarray(eq_energies[:-1], np.float64)
+                prev = prev[np.isfinite(prev)]
+                if len(prev) >= 2:
+                    sig = np.std(prev, ddof=1)
+                    if np.isfinite(sig) and sig > 0:
+                        drift = abs(eq_energies[-1] - np.mean(prev)) \
+                            > 3.0 * sig
             if pop_off or drift:
                 n_eq_planned += 1
                 eq_extensions += 1

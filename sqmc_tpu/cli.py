@@ -117,10 +117,50 @@ def run_det_walk(cfg, system, verbose: bool = True):
         system, eps_var=cfg.eps_var if cfg.eps_var < 1 else 2e-3,
         n_psi_t=max(cfg.n_truncate_det or 200, 1),
         n_imp=cfg.size_deterministic or 1000, verbose=verbose)
+
+    tau = cfg.tau
+    if tau == 0.0:
+        # tau deduced from the diagonal spectral range (ref:
+        # chemistry.f90:447-454 tau = tau_multiplier/(diag_hi - diag_lo)):
+        # lowest diagonal from the HF/starting det, highest from the det
+        # occupying the top orbitals
+        import jax.numpy as jnp
+        from . import dets as dets_mod
+        from .systems.chem import slater
+        lo_up = system.hf_up
+        lo_dn = system.hf_dn
+        hi_up = dets_mod.det_from_orbs(
+            range(system.norb - system.nup, system.norb), system.norb)
+        hi_dn = dets_mod.det_from_orbs(
+            range(system.norb - system.ndn, system.norb), system.norb)
+        pair_u = np.stack([lo_up, hi_up])
+        pair_d = np.stack([lo_dn, hi_dn])
+        dg = np.asarray(slater.diag_elements(
+            system.table, dets_mod.to_bits(jnp.asarray(pair_u), system.norb),
+            dets_mod.to_bits(jnp.asarray(pair_d), system.norb)))
+        tau = cfg.tau_multiplier / (dg[1] - dg[0])
+        if verbose:
+            print(f"diagonal_ham_lowest, diagonal_ham_highest, "
+                  f"tau_multiplier, tau={dg[0]:13.6f}{dg[1]:13.6f}"
+                  f"{cfg.tau_multiplier:10.6f}{tau:10.6f}")
+
+    proposal = {"uniform": "uniform", "uniform2": "uniform",
+                "CauchySchwarz": "cauchy_schwarz"}.get(
+                    cfg.proposal_method, "fast_heatbath")
+    if verbose and cfg.proposal_method.startswith("heat_bath"):
+        # the reference's factorized heat_bath2/3 1-4-orbital-table
+        # samplers (chemistry.f90:998-1233) are deliberately replaced by
+        # the exact-joint-|H| sampler: every accepted double carries the
+        # SAME magnitude, which strictly dominates the factorized scheme
+        # statistically (and the proposal probability is exact by
+        # construction instead of check_heatbath_unbiased-verified)
+        print(f"proposal_method {cfg.proposal_method} -> fast_heatbath "
+              "(exact joint-|H| heat bath)")
+
     mwalk = cfg.mwalk or 1 << 16
     wcfg = WalkConfig(
         mwalk=mwalk, cap_spawn=4 * mwalk, norb=system.norb, nup=system.nup,
-        ndn=system.ndn, n_words=system.n_words, tau=cfg.tau or 2e-3,
+        ndn=system.ndn, n_words=system.n_words, tau=tau or 2e-3,
         w_abs_target=cfg.w_abs_target, r_initiator=cfg.r_initiator,
         initiator_power=cfg.initiator_power, min_wt=cfg.min_wt,
         always_spawn_cutoff=cfg.always_spawn_cutoff,
@@ -130,10 +170,8 @@ def run_det_walk(cfg, system, verbose: bool = True):
         c_t_initiator=cfg.c_t_initiator,
         run_type=run_type, partial_node_eps=cfg.partial_node_eps,
         release_step=cfg.nstep * cfg.nblk_eq // 2 or 1,
-        guiding=guiding,
-        proposal={"uniform": "uniform", "uniform2": "uniform",
-                  "CauchySchwarz": "cauchy_schwarz"}.get(
-                      cfg.proposal_method, "fast_heatbath"))
+        guiding=guiding, time_sym=system.time_sym, z=system.z,
+        proposal=proposal)
     out = run_walk(system, trial, wcfg, nstep=cfg.nstep, nblk=cfg.nblk,
                    nblk_eq=cfg.nblk_eq, w_abs_begin=cfg.w_abs_begin,
                    e_trial_initial=cfg.e_trial_initial or trial.e_trial,

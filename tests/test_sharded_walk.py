@@ -45,3 +45,32 @@ def test_sharded_walk_unbiased():
     e = np.mean(ebl)
     err = np.std(ebl, ddof=1) / np.sqrt(len(ebl))
     assert abs(e - res.energies[0]) < 6 * max(err, 5e-6) + 2e-5
+
+
+def test_sharded_walk_deterministic_same_seed():
+    """Same seed + same mesh => bitwise-identical trajectory (the TPU
+    analog of SURVEY 5.2's determinism guards; JAX purity makes this a
+    hard guarantee rather than a hope)."""
+    if jax.device_count() < 4:
+        pytest.skip("needs >=4 devices")
+    sys_ = make_heg_system(3, 1.0, 4, 2, 1.6)
+    trial = build_trial_wavefunction(sys_, eps_var=1e-3, n_psi_t=30,
+                                     n_imp=10, verbose=False)
+    n_dev = 4
+    mesh = make_mesh(n_dev)
+    cfg = WalkConfig(mwalk=1024, cap_spawn=4096, norb=sys_.norb, nup=2,
+                     ndn=2, n_words=1, tau=5e-3, w_abs_target=1000.0,
+                     has_singles=False, r_initiator=0.0, axis_name="d",
+                     n_dev=n_dev)
+    traces = []
+    for rep in range(2):
+        step, state, tables = make_sharded_walk(sys_, trial, cfg, mesh,
+                                                500.0, trial.e_trial,
+                                                seed=3)
+        tr = []
+        for _ in range(25):
+            state, stats = step(state, tables)
+            tr.append((float(stats["w_abs_gen"]),
+                       float(stats["e_num_gen"]), int(stats["nwalk"])))
+        traces.append(tr)
+    assert traces[0] == traces[1]
