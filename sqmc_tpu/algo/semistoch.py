@@ -52,16 +52,12 @@ def _top_by_coef(up, dn, coef, n_keep):
     return u[s], d[s], c[s]
 
 
-def build_trial_wavefunction(system, eps_var: float = 2e-3,
-                             n_psi_t: int = 200, n_imp: int = 1000,
-                             verbose: bool = False) -> TrialWavefunction:
-    """One-stop construction of Psi_T + D + C(T) for the SQMC walk."""
-    res = run_hci(system, eps_var=eps_var, eps_var_sched=[eps_var] * 10,
-                  verbose=verbose)
-    wts = res.wts[:, 0]
-
-    pu, pd, pc = _top_by_coef(res.up, res.dn, wts, n_psi_t)
-    # normalize Psi_T
+def _assemble_trial(system, up, dn, wts, n_psi_t: int,
+                    imp_up, imp_dn) -> TrialWavefunction:
+    """Shared trail-end: pick Psi_T, build its C(T) local-energy cache
+    and the D-space projector H (ref: generate_psi_t_connected_e_loc,
+    semistoch.f90:27)."""
+    pu, pd, pc = _top_by_coef(up, dn, wts, n_psi_t)
     pc = pc / np.linalg.norm(pc)
     # Rayleigh quotient of the truncated Psi_T as e_trial seed
     Hp = build_sparse_ham(system.table, pu, pd, system.nup, system.ndn,
@@ -71,8 +67,7 @@ def build_trial_wavefunction(system, eps_var: float = 2e-3,
     Hm = Hm + Hm.T + np.diag(Hp.diag)
     e_trial = float(pc @ Hm @ pc)
 
-    iu, idn, _ = _top_by_coef(res.up, res.dn, wts, n_imp)
-    imp_ham = build_sparse_ham(system.table, iu, idn, system.nup,
+    imp_ham = build_sparse_ham(system.table, imp_up, imp_dn, system.nup,
                                system.ndn, system.norb,
                                time_sym=system.time_sym, z=system.z)
 
@@ -97,8 +92,125 @@ def build_trial_wavefunction(system, eps_var: float = 2e-3,
 
     return TrialWavefunction(psit_up=pu, psit_dn=pd, psit_coef=pc,
                              e_trial=e_trial, ct_up=cu_u, ct_dn=cd_u,
-                             ct_num=num, ct_den=den, imp_up=iu, imp_dn=idn,
-                             imp_ham=imp_ham)
+                             ct_num=num, ct_den=den, imp_up=imp_up,
+                             imp_dn=imp_dn, imp_ham=imp_ham)
+
+
+def build_trial_wavefunction(system, eps_var: float = 2e-3,
+                             n_psi_t: int = 200, n_imp: int = 1000,
+                             verbose: bool = False) -> TrialWavefunction:
+    """One-stop construction of Psi_T + D + C(T) for the SQMC walk."""
+    res = run_hci(system, eps_var=eps_var, eps_var_sched=[eps_var] * 10,
+                  verbose=verbose)
+    wts = res.wts[:, 0]
+    iu, idn, _ = _top_by_coef(res.up, res.dn, wts, n_imp)
+    return _assemble_trial(system, res.up, res.dn, wts, n_psi_t, iu, idn)
+
+
+def generate_space_iterate(system, n_iters: int, n_initiators, n_truncate,
+                           norb_active=None, init_up=None, init_dn=None,
+                           init_wts=None, verbose: bool = False):
+    """Iterated deterministic-space / trial-wavefunction construction
+    (ref: semistoch.f90 generate_space_iterate:145): starting from the
+    initiator dets (HF by default), each iteration
+      1. expands by the connected dets of the top-|c| n_initiators[it]
+         dets, restricted to the lowest norb_active[it] orbitals,
+      2. screens candidates by the first-order PT coefficient
+         |sum_i H_ai c_i| / (E - H_aa) keeping the top 10*n_truncate
+         (ref :259-300 keeps ~top 10%),
+      3. diagonalizes the expanded space (Davidson),
+      4. truncates to the n_truncate[it] largest |c| and rediagonalizes
+         on exit of the last iteration.
+    Returns (up, dn, coefs, energy).
+    """
+    from .davidson import davidson
+    from .. import dets as dets_mod
+
+    def per_it(x, it):
+        if np.isscalar(x) or x is None:
+            return x
+        return x[min(it, len(x) - 1)]
+
+    if init_up is None:
+        up = system.hf_up[None, :].copy()
+        dn = system.hf_dn[None, :].copy()
+        wts = np.ones(1)
+    else:
+        order = setalg.lexsort_dets(init_up, init_dn)
+        up, dn = init_up[order], init_dn[order]
+        wts = np.asarray(init_wts, np.float64)[order]
+
+    ts = dict(time_sym=system.time_sym, z=system.z)
+    H = build_sparse_ham(system.table, up, dn, system.nup, system.ndn,
+                         system.norb, **ts)
+    energy = float(H.diag[0]) if len(up) == 1 else float("nan")
+
+    for it in range(n_iters):
+        n_init = int(per_it(n_initiators, it))
+        n_trunc = int(per_it(n_truncate, it))
+        norb_a = per_it(norb_active, it)
+        iu, idn, ic = _top_by_coef(up, dn, wts, n_init)
+        coeffs = np.where(np.abs(ic) == 0.0, 1e-300, np.abs(ic))
+        cu, cd, h, ref = generate_connections(system, iu, idn,
+                                              1e-300 / coeffs)
+        if norb_a is not None and int(norb_a) < system.norb:
+            # restrict to the lowest norb_active orbitals (ref norb_imp)
+            mask_det = dets_mod.det_from_orbs(
+                range(int(norb_a), system.norb), system.norb)
+            ok = np.ones(len(cu), bool)
+            for w in range(cu.shape[1]):
+                ok &= (cu[:, w] & mask_det[w]) == 0
+                ok &= (cd[:, w] & mask_det[w]) == 0
+            cu, cd, h, ref = cu[ok], cd[ok], h[ok], ref[ok]
+        # 1st-order-PT screening of the merged candidates
+        num = h * ic[ref]
+        cu_u, cd_u, (num_u,), _ = setalg.unique_dets(cu, cd, [num])
+        new_mask = setalg.setdiff_dets(cu_u, cd_u, up, dn)
+        cu_u, cd_u, num_u = cu_u[new_mask], cd_u[new_mask], num_u[new_mask]
+        if len(cu_u):
+            from .sparseham import eval_pairs  # noqa: F401 (diag below)
+            from ..systems.chem import slater
+            import jax.numpy as jnp
+            bu = dets_mod.to_bits(jnp.asarray(cu_u), system.norb)
+            bd = dets_mod.to_bits(jnp.asarray(cd_u), system.norb)
+            dg = np.asarray(slater.diag_elements(system.table, bu, bd))
+            pt_c = np.abs(num_u) / np.maximum(dg - energy, 1e-10)
+            keep_n = min(len(cu_u), max(10 * n_trunc, 100))
+            top = np.argsort(-pt_c, kind="stable")[:keep_n]
+            cu_u, cd_u = cu_u[top], cd_u[top]
+        up2 = np.concatenate([up, cu_u])
+        dn2 = np.concatenate([dn, cd_u])
+        order = setalg.lexsort_dets(up2, dn2)
+        up2, dn2 = up2[order], dn2[order]
+        H2 = build_sparse_ham(system.table, up2, dn2, system.nup,
+                              system.ndn, system.norb, **ts)
+        evals, evecs = davidson(H2, 1)
+        energy = float(evals[0])
+        wts2 = evecs[:, 0]
+        # truncate to n_trunc by |coef|
+        up, dn, wts = _top_by_coef(up2, dn2, wts2, n_trunc)
+        if verbose:
+            print(f"space_iterate {it + 1}: expanded={len(up2)} "
+                  f"kept={len(up)} E={energy:.8f}", flush=True)
+
+    # final rediagonalization in the truncated space (ref :1240-style)
+    Hf = build_sparse_ham(system.table, up, dn, system.nup, system.ndn,
+                          system.norb, **ts)
+    evals, evecs = davidson(Hf, 1)
+    return up, dn, evecs[:, 0], float(evals[0])
+
+
+def build_trial_iterate(system, n_iters: int, n_initiators, n_truncate,
+                        norb_active=None, n_psi_t: int = 200,
+                        verbose: bool = False) -> TrialWavefunction:
+    """TrialWavefunction via the reference's iterated construction
+    (the `diff_from_psi_t` card path; ref do_walk.f90:954-960): the final
+    iterated space IS the deterministic space and Psi_T is its top-|c|
+    slice."""
+    up, dn, coefs, energy = generate_space_iterate(
+        system, n_iters, n_initiators, n_truncate, norb_active,
+        verbose=verbose)
+    return _assemble_trial(system, up, dn, coefs, n_psi_t, up, dn)
 
 
 def load_trial_from_reference(system, psit_con_file: str,

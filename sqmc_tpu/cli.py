@@ -113,10 +113,20 @@ def run_det_walk(cfg, system, verbose: bool = True):
             print(f"trial_wf_type={cfg.wf_type}")
             print(f"g={g:8.3f}")
 
-    trial = build_trial_wavefunction(
-        system, eps_var=cfg.eps_var if cfg.eps_var < 1 else 2e-3,
-        n_psi_t=max(cfg.n_truncate_det or 200, 1),
-        n_imp=cfg.size_deterministic or 1000, verbose=verbose)
+    if cfg.diff_from_psi_t and cfg.imp_iters > 0:
+        # iterated deterministic-space construction from the
+        # diff_from_psi_t cards (ref generate_space_iterate inputs,
+        # do_walk.f90:954-960)
+        from .algo.semistoch import build_trial_iterate
+        trial = build_trial_iterate(
+            system, cfg.imp_iters, cfg.n_imp_init, cfg.n_imp_trunc,
+            norb_active=cfg.norb_imp or None,
+            n_psi_t=max(cfg.n_truncate_det or 200, 1), verbose=verbose)
+    else:
+        trial = build_trial_wavefunction(
+            system, eps_var=cfg.eps_var if cfg.eps_var < 1 else 2e-3,
+            n_psi_t=max(cfg.n_truncate_det or 200, 1),
+            n_imp=cfg.size_deterministic or 1000, verbose=verbose)
 
     tau = cfg.tau
     if tau == 0.0:

@@ -83,6 +83,13 @@ class SqmcInput:
     psi_g_epsilon: float = 0.0
     size_deterministic: int = 0
     initiator_rescale_power: float = 0.0
+    # iterated deterministic-space construction cards (ref
+    # generate_space_iterate inputs, do_walk.f90:954-960)
+    diff_from_psi_t: bool = False
+    imp_iters: int = 0
+    norb_imp: list = dataclasses.field(default_factory=list)
+    n_imp_init: list = dataclasses.field(default_factory=list)
+    n_imp_trunc: list = dataclasses.field(default_factory=list)
     # toy backends (ref hamiltonian_mod.f90:81-92,320-344)
     bosonic: int = 1
     spectrum_coef: float = 1.0
@@ -255,11 +262,12 @@ def parse_input(text: str) -> SqmcInput:
         if len(t) > 1:
             cfg.use_exponential_projector = _parse_bool(t[1])
         if cfg.semistochastic:
-            diff_from_psi_t = _parse_bool(take(1)[0])
-            if diff_from_psi_t:
-                imp_iters = int(take(1)[0])
-                for _ in range(3):        # norb_imp/n_imp_init/n_imp_trunc
-                    take(imp_iters)
+            cfg.diff_from_psi_t = _parse_bool(take(1)[0])
+            if cfg.diff_from_psi_t:
+                cfg.imp_iters = int(take(1)[0])
+                cfg.norb_imp = [int(x) for x in take(cfg.imp_iters)]
+                cfg.n_imp_init = [int(x) for x in take(cfg.imp_iters)]
+                cfg.n_imp_trunc = [int(x) for x in take(cfg.imp_iters)]
             else:
                 cfg.size_deterministic = int(take(1)[0])
             t = take(3)

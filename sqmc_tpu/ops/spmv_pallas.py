@@ -17,12 +17,14 @@ Falls back transparently to a jitted XLA gather formulation when the
 vector does not fit VMEM or Pallas is unavailable (CPU tests run the
 fallback; the kernel itself is validated in interpret mode).
 
-NOTE: the current Mosaic lowering supports only take_along_axis-shaped
-gathers (indices.shape == operand.shape + (1,)); the arbitrary-index
-VMEM gather this kernel wants does not lower yet, so EllSpmv defaults to
-the XLA ELL formulation on all backends (measured faster than the COO
-scatter-add on TPU).  The Pallas path is kept behind use_pallas=True /
-interpret=True for when the lowering lands.
+NOTE: the arbitrary-index VMEM gather this kernel wants still does not
+lower through Mosaic (re-checked on jax 0.9 / libtpu 2026-01: a 1-D
+operand gather reports "Only 2D gather is supported", and the 2-D
+reshaped formulation `x2[cols//128, cols%128]` dies in a lowering
+recursion), so EllSpmv defaults to the XLA ELL formulation on all
+backends (measured faster than the COO scatter-add on TPU).  The Pallas
+path is kept behind use_pallas=True / interpret=True for when the
+lowering lands.
 """
 
 from __future__ import annotations
