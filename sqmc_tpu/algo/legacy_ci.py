@@ -228,3 +228,63 @@ def perform_truncated_lanczos(system, iters: int, n_initiators: int,
         coef[pos] += evecs[i, 0] * vc
     coef /= np.linalg.norm(coef)
     return LegacyCIResult(float(evals[0]), g_up, g_dn, coef, energies)
+
+
+def apply_h_on_the_fly(system, up, dn, x):
+    """y = H x restricted to a FIXED sorted det list, matrix-free: the
+    connections are regenerated per application instead of storing the
+    sparse matrix (ref: apply_H_on_the_fly, chemistry.f90:8865).
+    up/dn must be key-sorted."""
+    from .connect import generate_connections
+
+    y = _diag_elements(system, up, dn) * x
+    cu, cd, h, ref = generate_connections(system, up, dn,
+                                          eps=np.zeros(len(up)))
+    pos = setalg.search_dets(up, dn, cu, cd)
+    ok = pos >= 0
+    np.add.at(y, pos[ok], h[ok] * x[ref[ok]])
+    return y
+
+
+def matrix_lanczos_on_the_fly(system, up, dn, iters: int = 40,
+                              tol: float = 1e-10, seed: int = 0,
+                              verbose: bool = False):
+    """Lowest eigenpair of H over a fixed det list by Lanczos with
+    matrix-free H applications and full reorthogonalization (ref:
+    matrix_lanczos_on_the_fly, chemistry.f90:8680 - used when the sparse
+    matrix does not fit memory).  Returns (energy, vec)."""
+    order = setalg.lexsort_dets(up, dn)
+    up, dn = up[order], dn[order]
+    n = len(up)
+    v = np.zeros(n)
+    v[int(np.argmin(_diag_elements(system, up, dn)))] = 1.0
+    V = [v]
+    alphas, betas = [], []
+    e_prev = np.inf
+    for it in range(min(iters, n)):
+        w = apply_h_on_the_fly(system, up, dn, V[-1])
+        a = float(np.dot(V[-1], w))
+        alphas.append(a)
+        for vk in V:                      # full reorthogonalization
+            w -= np.dot(vk, w) * vk
+        T = np.diag(alphas)
+        for k, b in enumerate(betas):
+            T[k, k + 1] = T[k + 1, k] = b
+        evals, evecs = np.linalg.eigh(T)
+        e = float(evals[0])
+        if verbose:
+            print(f"lanczos_on_the_fly it={it + 1} E={e:.10f}", flush=True)
+        b = float(np.linalg.norm(w))
+        if abs(e - e_prev) < tol or b < 1e-12:
+            break
+        e_prev = e
+        betas.append(b)
+        V.append(w / b)
+    coef = evecs[:, 0]
+    vec = np.zeros(n)
+    for k, c in enumerate(coef[:len(V)]):
+        vec += c * V[k]
+    vec /= np.linalg.norm(vec)
+    inv = np.empty(n, np.int64)
+    inv[order] = np.arange(n)
+    return e, vec[inv]

@@ -523,29 +523,6 @@ def init_walk_state(cfg: WalkConfig, trial, w_abs_begin: float,
 # Step kernel pieces
 # ---------------------------------------------------------------------------
 
-def _binary_search_cum(cum_gather, n, target, max_n: int = 1 << 31):
-    """Smallest index i in [0,n) with cum[i] > target, via scalar-gather
-    bisection.  cum_gather(i) -> cumulative value at index i (vectorized
-    over the batch).  max_n: STATIC bound on n - every bisection step is a
-    batched HBM gather, so the iteration count (ceil(log2(max_n))) is the
-    dominant cost of the sampler; pass the tightest static bound."""
-    lo = jnp.zeros_like(n)
-    hi = n
-    n_iter = max(int(np.ceil(np.log2(max(min(max_n, 1 << 31), 2)))) + 1, 1)
-
-    def body(_, lohi):
-        lo, hi = lohi
-        mid = (lo + hi) // 2
-        v = cum_gather(mid)
-        go_right = (v <= target) & (lo < hi)
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-        return lo, hi
-
-    lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
-    return jnp.minimum(lo, jnp.maximum(n - 1, 0))
-
-
 def _lex_less_eq(a_up, a_dn, b_up, b_dn):
     """(a < b, a == b) under the up-major, most-significant-word-first
     ordering, for packed [..., W] det pairs."""

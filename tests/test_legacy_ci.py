@@ -98,3 +98,20 @@ def test_truncated_lanczos_truncation_variational(hub, fci):
     res = perform_truncated_lanczos(hub, iters=6, n_initiators=10,
                                     n_truncate=12)
     assert res.energy >= fci[0] - 1e-9
+
+
+def test_lanczos_on_the_fly_matches_davidson():
+    """Matrix-free fixed-space Lanczos == stored-H Davidson (ref:
+    matrix_lanczos_on_the_fly, chemistry.f90:8680)."""
+    import numpy as np
+    from sqmc_tpu.algo.hci import run_hci
+    from sqmc_tpu.algo.legacy_ci import matrix_lanczos_on_the_fly
+    from sqmc_tpu.systems.heg.system import make_heg_system
+
+    sys_ = make_heg_system(3, 1.0, 4, 2, 1.6)
+    res = run_hci(sys_, eps_var=1e-9, eps_var_sched=[1e-9] * 30,
+                  max_iters=60, verbose=False)
+    e, vec = matrix_lanczos_on_the_fly(sys_, res.up, res.dn, iters=60)
+    assert e == pytest.approx(float(res.energies[0]), abs=1e-9)
+    ov = abs(float(np.dot(vec, res.wts[:, 0])))
+    assert ov > 1 - 1e-8
