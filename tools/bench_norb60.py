@@ -75,12 +75,11 @@ def main():
         state = init_walk_state(cfg, trial, 50_000.0, trial.e_trial)
         for _ in range(3):      # grow + warm the compile
             state, _ = walk_block(state, tables, cfg, 100)
-        jax.block_until_ready(state.wt)
+        float(jnp.sum(state.wt))     # force execution (tunnel-safe)
         t0 = time.time()
         state, stats = walk_block(state, tables, cfg, 100)
-        jax.block_until_ready(state.wt)
+        pop = float(jnp.mean(stats["w_abs_gen"]))   # forces execution
         dt = time.time() - t0
-        pop = float(jnp.mean(stats["w_abs_gen"]))
         results[name] = (100 / dt, pop)
         print(f"# {name}: {100 / dt:.2f} gen/s  pop={pop:.0f}  "
               f"walker-steps/s={pop * 100 / dt:.3e}", flush=True)
