@@ -107,6 +107,13 @@ class WalkConfig:
     # rejections).  0 = no compaction (sort at full cap_spawn).
     cap_compact: int = 0
 
+    # singles-channel compaction: the ~p_single fraction of slots taking
+    # the single branch routes through a buffer of this size, so the
+    # [CAP, norb]-shaped element rows shrink accordingly.  0 = off
+    # (compute singles on every slot).  Overflow joins the capacity
+    # escalation path.
+    cap_single: int = 0
+
     @property
     def cap_compact_eff(self):
         return min(self.cap_compact or self.cap_spawn, self.cap_spawn)
@@ -893,45 +900,89 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
                                  dets.set_orb(dets.set_orb(dets.clear_orb(dets.clear_orb(dn_w, pp), qq), r), s)))
 
     # ---- singles path (chem) ----
-    if cfg.has_singles:
+    def singles_at(slots_b, slots_ue, slots_ua2, slots_up_):
+        """Single-excitation proposals for a batch of slots (parent b,
+        and the electron/orbital/accept uniforms).  Returns
+        (up, dn, wt_factor, ok)."""
         occ_all = jnp.concatenate([occ_up, occ_dn], axis=1)   # [M, nelec]
-        targ_s = (up_ * Utot[b]).astype(jnp.float32)
-        sing_rows = jnp.take(sing_cum, b, axis=0)             # [CAP, nelec]
+        bb = slots_b
+        targ_s = (slots_up_ * Utot[bb]).astype(jnp.float32)
+        sing_rows = jnp.take(sing_cum, bb, axis=0)            # [S, nelec]
         e_i = jnp.minimum(
             jnp.sum(sing_rows <= targ_s[:, None], axis=1).astype(jnp.int32),
             nelec - 1)
-        p_s = occ_all[b, e_i]
+        p_s = occ_all[bb, e_i]
         e_up = e_i < nup
         # target orbital ~ U[p_s, :] via per-row alias (ue: slot, ua2:
         # accept - ua2 is reused from the doubles branch; each slot takes
         # exactly one branch so the streams never interact)
-        slot_r = jnp.minimum((ue * norb).astype(jnp.int32), norb - 1)
-        aq_s = tables.u_alias[p_s, slot_r]                # [CAP, 2] f32
-        r_s = jnp.where(ua2.astype(jnp.float32) < aq_s[:, 0], slot_r,
+        slot_r = jnp.minimum((slots_ue * norb).astype(jnp.int32), norb - 1)
+        aq_s = tables.u_alias[p_s, slot_r]                # [S, 2] f32
+        r_s = jnp.where(slots_ua2.astype(jnp.float32) < aq_s[:, 0], slot_r,
                         aq_s[:, 1].astype(jnp.int32))
-        r_s_occ = jnp.where(e_up, bits_up[b, r_s] != 0, bits_dn[b, r_s] != 0)
+        r_s_occ = jnp.where(e_up, bits_up[bb, r_s] != 0,
+                            bits_dn[bb, r_s] != 0)
         # exact single element; sign by mask-window popcount on the packed
         # words (bits strictly between p and r; p itself is occupied)
-        bits_same_sl = jnp.where(e_up[:, None], bits_up[b], bits_dn[b])
-        bits_other_sl = jnp.where(e_up[:, None], bits_dn[b], bits_up[b])
-        words_same_s = jnp.where(e_up[:, None], up_w, dn_w)
+        bits_same_sl = jnp.where(e_up[:, None], bits_up[bb], bits_dn[bb])
+        bits_other_sl = jnp.where(e_up[:, None], bits_dn[bb], bits_up[bb])
+        uw = state.up[bb]
+        dw = state.dn[bb]
+        words_same_s = jnp.where(e_up[:, None], uw, dw)
         n_btw = dets.count_below(words_same_s, p_s, r_s) - \
             (p_s < r_s).astype(jnp.int32)
         sgn_s = jnp.where(n_btw % 2 == 0, 1.0, -1.0)
         h_sng = sgn_s * slater.single_element_no_sign(
             tables.table, bits_same_sl, bits_other_sl, p_s, r_s)
-        p_sel_sng = p_single[b] * tables.u_table[p_s, r_s] / jnp.maximum(Utot[b], 1e-300)
-        w_sng = -tau * h_sng / jnp.maximum(p_sel_sng, 1e-300)
-        moved_up = dets.set_orb(dets.clear_orb(up_w, p_s), r_s)
-        moved_dn = dets.set_orb(dets.clear_orb(dn_w, p_s), r_s)
-        sng_up = jnp.where(e_up[:, None], moved_up, up_w)
-        sng_dn = jnp.where(e_up[:, None], dn_w, moved_dn)
-        sng_ok = (~r_s_occ) & (tables.u_table[p_s, r_s] > 0)
+        p_sel_sng = p_single[bb] * tables.u_table[p_s, r_s] / \
+            jnp.maximum(Utot[bb], 1e-300)
+        w_s = -tau * h_sng / jnp.maximum(p_sel_sng, 1e-300)
+        moved_up = dets.set_orb(dets.clear_orb(uw, p_s), r_s)
+        moved_dn = dets.set_orb(dets.clear_orb(dw, p_s), r_s)
+        s_up = jnp.where(e_up[:, None], moved_up, uw)
+        s_dn = jnp.where(e_up[:, None], dw, moved_dn)
+        s_ok = (~r_s_occ) & (tables.u_table[p_s, r_s] > 0)
+        return s_up, s_dn, w_s, s_ok
+
+    CAPS = cfg.cap_single
+    if cfg.has_singles and CAPS and CAPS < CAP:
+        # COMPACT the singles channel: only ~p_single of the VALID slots
+        # take the branch, but every [CAP]-shaped op here pays full price
+        # - route the taking slots through a cap_single-sized buffer
+        # (overflow joins the capacity-escalation path)
+        sng_take = take_single & slot_valid
+        spos = prefix.cumsum_i32(sng_take.astype(jnp.int32)) - 1
+        overflow_s = (spos[-1] + 1) > CAPS
+        sdest = jnp.where(sng_take, spos, CAPS)
+        idx_s = jnp.full(CAPS, CAP, jnp.int32).at[sdest].set(
+            jnp.arange(CAP, dtype=jnp.int32), mode="drop")
+        live_s = idx_s < CAP
+        ic = jnp.clip(idx_s, 0, CAP - 1)
+        c_up, c_dn, c_wt, c_ok = singles_at(b[ic], ue[ic], ua2[ic],
+                                            up_[ic])
+        c_ok = c_ok & live_s
+        # scatter back by the UNCLIPPED source index (dead rows hold CAP
+        # and are dropped - a clipped index would clobber slot CAP-1)
+        sng_up = jnp.full((CAP, W), jnp.uint64(SENTINEL)).at[idx_s].set(
+            jnp.where(c_ok[:, None], c_up, jnp.uint64(SENTINEL)),
+            mode="drop")
+        sng_dn = jnp.full((CAP, W), jnp.uint64(SENTINEL)).at[idx_s].set(
+            jnp.where(c_ok[:, None], c_dn, jnp.uint64(SENTINEL)),
+            mode="drop")
+        w_sng = jnp.zeros(CAP).at[idx_s].set(jnp.where(c_ok, c_wt, 0.0),
+                                             mode="drop")
+        sng_ok = jnp.zeros(CAP, bool).at[idx_s].set(c_ok, mode="drop")
+        sng_ok = sng_ok & take_single
+    elif cfg.has_singles:
+        sng_up, sng_dn, w_sng, sng_ok = singles_at(b, ue, ua2, up_)
+        overflow_s = jnp.asarray(False)
     else:
         sng_up = dbl_up
         sng_dn = dbl_dn
         w_sng = jnp.zeros(CAP)
         sng_ok = jnp.zeros(CAP, bool)
+        overflow_s = jnp.asarray(False)
+    overflow = overflow | overflow_s
 
     # combine branches
     spawn_up = jnp.where(take_single[:, None], sng_up, dbl_up)
@@ -1666,7 +1717,8 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
                     f"cap_spawn={cfg.cap_spawn})")
             grows += 1
             cfg = dataclasses.replace(cfg, mwalk=2 * cfg.mwalk,
-                                      cap_spawn=2 * cfg.cap_spawn)
+                                      cap_spawn=2 * cfg.cap_spawn,
+                                      cap_single=2 * cfg.cap_single)
             cfg_growth = dataclasses.replace(cfg, cap_new=cfg.cap_spawn) \
                 if not cfg.full_sort_merge else cfg
             if verbose:
