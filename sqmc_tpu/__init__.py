@@ -36,6 +36,18 @@ def __getattr__(name):
                                       "perform_truncated_lanczos"),
         "build_trial_wavefunction": ("sqmc_tpu.algo.semistoch",
                                      "build_trial_wavefunction"),
+        "build_trial_iterate": ("sqmc_tpu.algo.semistoch",
+                                "build_trial_iterate"),
+        "generate_space_iterate": ("sqmc_tpu.algo.semistoch",
+                                   "generate_space_iterate"),
+        "load_trial_from_reference": ("sqmc_tpu.algo.semistoch",
+                                      "load_trial_from_reference"),
+        "make_gutzwiller_guiding": ("sqmc_tpu.algo.guiding",
+                                    "make_gutzwiller_guiding"),
+        "make_table_guiding": ("sqmc_tpu.algo.guiding",
+                               "make_table_guiding"),
+        "matrix_lanczos_on_the_fly": ("sqmc_tpu.algo.legacy_ci",
+                                      "matrix_lanczos_on_the_fly"),
         "make_chem_system": ("sqmc_tpu.systems.base", "make_chem_system"),
         "make_heg_system": ("sqmc_tpu.systems.heg.system",
                             "make_heg_system"),

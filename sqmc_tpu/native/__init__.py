@@ -26,7 +26,11 @@ _lib = None
 
 
 def _build():
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
+    # -march is selectable via SQMC_NATIVE_MARCH (default: portable
+    # x86-64-v2 rather than -march=native, so a cached .so copied between
+    # machines never carries illegal instructions)
+    march = os.environ.get("SQMC_NATIVE_MARCH", "x86-64-v2")
+    cmd = ["g++", "-O3", f"-march={march}", "-shared", "-fPIC", _SRC,
            "-o", _SO + ".tmp"]
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(_SO + ".tmp", _SO)
