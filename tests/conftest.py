@@ -55,6 +55,7 @@ _SLOW_TESTS = {
     "test_semistochastic_pt_golden",
     "test_ts_walk_stochastic_unbiased",
     "test_curve_goldens_reproduce",
+    "test_chem_walk_from_cards",
     "test_variational_scale_100k",
     "test_walkalize_and_histogram",
 }
