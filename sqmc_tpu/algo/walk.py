@@ -186,9 +186,10 @@ class WalkTables(NamedTuple):
 
     The same-spin and opposite-spin heat-bath families are CONCATENATED
     (opp rows offset by the same-spin totals) so the sampler's row/entry
-    gathers need no same/opp select, and per-entry fields are packed as
-    2-wide f64 rows so each logical lookup is ONE HBM gather (ref tables:
-    chemistry.f90 setup_efficient_heatbath:872/dtm_hb + setup_alias,
+    gathers need no same/opp select; per-entry fields are packed f32
+    (self-consistent sampling distributions - see PERF_NOTES.md) so each
+    logical lookup is ONE narrow HBM gather (ref tables: chemistry.f90
+    setup_efficient_heatbath:872/dtm_hb + setup_alias,
     more_tools.f90:5603)."""
     hb_rssign: jnp.ndarray       # [n_tot] f32: sign(H) * (r*norb+s + 1)
     #                              (fast_heatbath needs only the target
