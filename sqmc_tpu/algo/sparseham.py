@@ -172,12 +172,11 @@ def connected_pairs(up: np.ndarray, dn: np.ndarray, nup: int, ndn: int,
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
     a = np.concatenate(pairs_a)
     b = np.concatenate(pairs_b)
-    # dedup
-    order = np.lexsort((b, a))
-    a, b = a[order], b[order]
-    first = np.ones(len(a), dtype=bool)
-    first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-    return a[first], b[first]
+    # dedup on the fused pair key (a single-key sort is ~2x a lexsort at
+    # the tens-of-millions-of-pairs scale of big variational iterations)
+    key = np.unique(a.astype(np.uint64) * np.uint64(n) + b.astype(np.uint64))
+    return (key // np.uint64(n)).astype(np.int64), \
+        (key % np.uint64(n)).astype(np.int64)
 
 
 def eval_pairs(table, up, dn, a, b, norb, batch: int = 1 << 18,
@@ -290,11 +289,10 @@ def build_sparse_ham(table, up: np.ndarray, dn: np.ndarray, nup: int,
         keep = lo != hi
         keep &= (lo >= ns2) | (hi >= ns2)
         lo, hi = lo[keep], hi[keep]
-        order = np.lexsort((hi, lo))
-        lo, hi = lo[order], hi[order]
-        first = np.ones(len(lo), bool)
-        first[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
-        return lo[first], hi[first]
+        key = np.unique(lo.astype(np.uint64) * np.uint64(m) +
+                        hi.astype(np.uint64))
+        return (key // np.uint64(m)).astype(np.int64), \
+            (key % np.uint64(m)).astype(np.int64)
 
     if prev is not None and prev_map is not None and prev.n > 0:
         # mark which current rows are new
@@ -326,7 +324,8 @@ def build_sparse_ham(table, up: np.ndarray, dn: np.ndarray, nup: int,
         keep = vals != 0.0
         rows, cols, v = a[keep], b[keep], vals[keep]
 
-    order = np.lexsort((cols, rows))
+    order = np.argsort(rows.astype(np.uint64) * np.uint64(n) +
+                       cols.astype(np.uint64), kind="stable")
     return SparseHam(n=n, rows=rows[order].astype(np.int32),
                      cols=cols[order].astype(np.int32), vals=v[order],
                      diag=diag)
