@@ -13,11 +13,15 @@ r_initiator=1):
   pop 2e5, g=1, min_wt=0.25, same big D space:
       e_mixed = -75.716315 +- 0.0000028   (12.3 mHa)
 
+  pop 6e4, g=1, min_wt=0.05, same big D space:
+      e_mixed = -75.716316 +- 0.0000042   (12.3 mHa)
+
 Reading: the semistochastic deterministic space is the dominant bias
-control (66 -> 12 mHa); the residual is set by the initiator/min_wt
-thresholds (unchanged from pop 6e4 to 2e5) and shrinks with
-r_initiator/min_wt exactly as in the reference - the framework's
-unbiasedness itself is pinned by the r_initiator=0 statistical tests
+control (66 -> 12 mHa); the residual is the r_initiator=1 initiator bias
+proper - INSENSITIVE to population (6e4 vs 2e5) and to min_wt (0.25 vs
+0.05), so it shrinks only by lowering r_initiator or growing D, exactly
+the knobs the reference exposes.  The framework's unbiasedness itself is
+pinned by the r_initiator=0 statistical tests
 (test_walk/test_time_sym_walk/test_fixed_node) and the exact
 deterministic-limit tests.
 """
