@@ -106,6 +106,12 @@ class WalkConfig:
     # 25-45% of spawn slots are dead: unused slots + occupied-target
     # rejections).  0 = no compaction (sort at full cap_spawn).
     cap_compact: int = 0
+    # fresh-determinant buffer: kept merge groups whose det was NOT in last
+    # step's walker list get their diagonal element and C(T)-cache index
+    # computed through a buffer of this size (every resident walker carries
+    # both, so the per-step [M] diagonal evaluation and the [M]-query C(T)
+    # search collapse to this small batch).  0 = max(cap_spawn//8, 8192).
+    cap_fresh: int = 0
 
     # singles-channel compaction: the ~p_single fraction of slots taking
     # the single branch routes through a buffer of this size, so the
@@ -121,6 +127,10 @@ class WalkConfig:
     @property
     def cap_new_eff(self):
         return self.cap_new or max(self.cap_spawn // 4, 8192)
+
+    @property
+    def cap_fresh_eff(self):
+        return self.cap_fresh or max(self.cap_spawn // 8, 8192)
     axis_name: str | None = None
     n_dev: int = 1
     # projector variant (ref run_type dispatch do_walk.f90:38-50; move
@@ -195,14 +205,21 @@ class WalkTables(NamedTuple):
     #                              (fast_heatbath needs only the target
     #                              pair and the element SIGN - the spawn
     #                              magnitude is the constant W2tot form)
-    hb_alias: jnp.ndarray        # [n_tot, 2] f32: (alias q, alias J)
-    hb_pack: jnp.ndarray         # [ntri_s + ntri_o, 3] f64
-    #                              (start into concat arrays, count, rowsum)
+    # per-entry alias tables and per-row descriptors are SEPARATE planar
+    # arrays: a [batch, k]-shaped gather of a k-wide packed row pads the
+    # minor dim to 128 on TPU (a [1.25M*28, 3] f32 gather materializes
+    # 17.9 GB), while per-plane gathers lay out clean [batch] vectors
+    hb_alias_q: jnp.ndarray      # [n_tot] f32 alias acceptance
+    hb_alias_J: jnp.ndarray      # [n_tot] i32 alias partner
+    hb_start: jnp.ndarray        # [ntri_s + ntri_o] i32 row start
+    hb_count: jnp.ndarray        # [ntri_s + ntri_o] i32 row count
+    hb_rowsum: jnp.ndarray       # [ntri_s + ntri_o] f32 row |H| sum
     # singles upper-bound table (chem): U[p,r] (0 if symmetry-forbidden),
     # row sums, and per-row alias tables for O(1) target sampling
     u_table: jnp.ndarray         # [norb, norb]
     u_rowsum: jnp.ndarray        # [norb]
-    u_alias: jnp.ndarray         # [norb, norb, 2] f64: (q, J) over U rows
+    u_alias_q: jnp.ndarray       # [norb, norb] f32 alias acceptance over U
+    u_alias_J: jnp.ndarray       # [norb, norb] i32 alias partner
     # Cauchy-Schwarz separable bound c[p,r] = sqrt|(pr|pr)| with per-row
     # alias tables (proposal='cauchy_schwarz')
     cs_c: jnp.ndarray            # [norb, norb]
@@ -236,7 +253,9 @@ class WalkState(NamedTuple):
     init: jnp.ndarray           # [M] int32: 0..3 initiator code
     imp: jnp.ndarray            # [M] int32: 0=deterministic, -2=C(T),
                                 #   -1=spawned-from-D (transient), >=1 dist
-    diag: jnp.ndarray           # [M] float64 diagonal cache (1e51 unknown)
+    diag: jnp.ndarray           # [M] float64 diagonal cache (DIAG_UNKNOWN unknown)
+    ct: jnp.ndarray             # [M] int32 C(T)-cache index (-1 = not in
+                                #   C(T), -2 = unknown/repair at next merge)
     nwalk: jnp.ndarray          # scalar int32
     key: jnp.ndarray            # PRNG key
     e_trial: jnp.ndarray        # scalar f64
@@ -256,6 +275,17 @@ class WalkState(NamedTuple):
 
 
 SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+# Device float constants, chosen to survive the TPU backend's SILENT
+# f64->f32 demotion (arrays report float64 but store f32; verified on the
+# axon backend: jnp.float64(DIAG_UNKNOWN) reads back as inf and inf > DIAG_UNKNOWN_THRESHOLD is
+# False, which permanently disabled the diagonal-cache repair in rounds
+# 1-2 and killed every stochastic walker outside the D space after one
+# step).  DIAG_UNKNOWN marks an unevaluated diagonal element; TINY guards
+# divisions.  Both are exactly representable in f32.
+DIAG_UNKNOWN = 1e30
+DIAG_UNKNOWN_THRESHOLD = 1e29
+TINY = 1e-30
 
 
 # ---------------------------------------------------------------------------
@@ -371,8 +401,6 @@ def build_walk_tables(system, trial, guide=None, cfg=None) -> WalkTables:
     for p_ in range(norb):
         if u_rowsum[p_] > 0:
             u_aliasJ[p_], u_aliasq[p_] = setup_alias_np(U[p_] / u_rowsum[p_])
-    u_alias = np.stack([u_aliasq, u_aliasJ.astype(np.float64)],
-                       axis=2).astype(np.float32)
 
     # row-complete symmetric COO (diag + both orientations of the stored
     # upper triangle) so the projection is a single segment-sum
@@ -381,6 +409,10 @@ def build_walk_tables(system, trial, guide=None, cfg=None) -> WalkTables:
     r_all = np.concatenate([H.rows, H.cols, np.arange(n_imp)]).astype(np.int32)
     c_all = np.concatenate([H.cols, H.rows, np.arange(n_imp)]).astype(np.int32)
     v_all = np.concatenate([H.vals, H.vals, H.diag])
+    # row-sorted COO: the projection's segment_sum runs with
+    # indices_are_sorted=True (sorted-segment lowering on TPU)
+    ord_r = np.argsort(r_all, kind="stable")
+    r_all, c_all, v_all = r_all[ord_r], c_all[ord_r], v_all[ord_r]
 
     ct_num = np.asarray(trial.ct_num, np.float64)
     ct_den = np.asarray(trial.ct_den, np.float64)
@@ -432,25 +464,26 @@ def build_walk_tables(system, trial, guide=None, cfg=None) -> WalkTables:
     val_cat = np.concatenate([np.asarray(hb.same_val), np.asarray(hb.opp_val)])
     sgn = np.where(val_cat < 0, -1.0, 1.0)
     hb_rssign = (sgn * (rs_cat + 1.0)).astype(np.float32)
-    hb_alias = np.stack([np.concatenate([s_q, o_q]),
-                         np.concatenate([s_J, o_J]).astype(np.float64)],
-                        axis=1).astype(np.float32)
-    # f32 row-pack when starts fit 24 bits exactly (the rowsum only shapes
-    # the self-consistent pair-selection distribution); f64 beyond
-    n_tot_hb = len(rs_cat)
-    pack_dtype = np.float32 if n_tot_hb < (1 << 24) else np.float64
-    hb_pack = np.concatenate([
-        np.stack([np.asarray(hb.same_start, np.float64),
-                  np.asarray(hb.same_count, np.float64), s_rowsum], axis=1),
-        np.stack([np.asarray(hb.opp_start, np.float64) + n_same,
-                  np.asarray(hb.opp_count, np.float64), o_rowsum], axis=1)]
-    ).astype(pack_dtype)
+    hb_alias_q = np.concatenate([s_q, o_q]).astype(np.float32)
+    hb_alias_J = np.concatenate([s_J, o_J]).astype(np.int32)
+    hb_start = np.concatenate([
+        np.asarray(hb.same_start, np.int64),
+        np.asarray(hb.opp_start, np.int64) + n_same]).astype(np.int32)
+    hb_count = np.concatenate([np.asarray(hb.same_count),
+                               np.asarray(hb.opp_count)]).astype(np.int32)
+    # f32 rowsums: the sampler stays self-consistent (selection probability
+    # and weight normalization read the same array)
+    hb_rowsum = np.concatenate([s_rowsum, o_rowsum]).astype(np.float32)
 
     return WalkTables(
-        hb_rssign=jnp.asarray(hb_rssign), hb_alias=jnp.asarray(hb_alias),
-        hb_pack=jnp.asarray(hb_pack),
+        hb_rssign=jnp.asarray(hb_rssign),
+        hb_alias_q=jnp.asarray(hb_alias_q),
+        hb_alias_J=jnp.asarray(hb_alias_J),
+        hb_start=jnp.asarray(hb_start), hb_count=jnp.asarray(hb_count),
+        hb_rowsum=jnp.asarray(hb_rowsum),
         u_table=jnp.asarray(U), u_rowsum=jnp.asarray(u_rowsum),
-        u_alias=jnp.asarray(u_alias),
+        u_alias_q=jnp.asarray(u_aliasq.astype(np.float32)),
+        u_alias_J=jnp.asarray(u_aliasJ),
         cs_c=jnp.asarray(cs_c), cs_rowsum=jnp.asarray(cs_rowsum),
         cs_aliasJ=jnp.asarray(cs_J2), cs_aliasq=jnp.asarray(cs_q2),
         table=table,
@@ -465,7 +498,7 @@ def build_walk_tables(system, trial, guide=None, cfg=None) -> WalkTables:
 
 def init_walk_state(cfg: WalkConfig, trial, w_abs_begin: float,
                     e_trial_initial: float, seed: int = 0,
-                    guide=None) -> WalkState:
+                    guide=None, tables: "WalkTables | None" = None) -> WalkState:
     """Initial population: Psi_T dets weighted by coefficients, scaled to
     total |w| = w_abs_begin (ref: do_walk.f90:1129-1368), plus all
     deterministic-space dets at weight 0 so the projector always sees them.
@@ -478,7 +511,8 @@ def init_walk_state(cfg: WalkConfig, trial, w_abs_begin: float,
     wt = np.zeros(M)
     init = np.zeros(M, np.int32)
     imp = np.full(M, 10 ** 6, np.int32)
-    diag = np.full(M, 1e51)
+    diag = np.full(M, DIAG_UNKNOWN)
+    ct = np.full(M, -1, np.int32)
 
     # union of Psi_T and D-space dets, sorted
     all_up = np.concatenate([trial.psit_up, trial.imp_up])
@@ -507,9 +541,24 @@ def init_walk_state(cfg: WalkConfig, trial, w_abs_begin: float,
         imp[:n0] = 1
     init[:n0] = 2  # starting dets are initiators
 
+    # resident walkers always carry their C(T)-cache index and (when the
+    # integral tables are at hand) diagonal element; anything left unknown
+    # here is repaired by the step's cond-guarded fill
+    ct[:n0] = setalg.search_dets(trial.ct_up, trial.ct_dn, u, d)
+    if tables is not None:
+        bu = dets.to_bits(jnp.asarray(u), cfg.norb)
+        bd = dets.to_bits(jnp.asarray(d), cfg.norb)
+        dg = slater.diag_elements(tables.table, bu, bd)
+        if cfg.time_sym:
+            cross = slater.pair_matrix_elements(tables.table, bu, bd, bd, bu)
+            selfs = np.all(u == d, axis=1)
+            dg = dg + jnp.where(jnp.asarray(selfs), 0.0, cfg.z * cross)
+        diag[:n0] = np.asarray(dg)
+
     return WalkState(
         up=jnp.asarray(up), dn=jnp.asarray(dn), wt=jnp.asarray(wt),
         init=jnp.asarray(init), imp=jnp.asarray(imp), diag=jnp.asarray(diag),
+        ct=jnp.asarray(ct),
         nwalk=jnp.asarray(n0, jnp.int32), key=jax.random.PRNGKey(seed),
         e_trial=jnp.asarray(float(e_trial_initial), jnp.float64),
         e_est=jnp.asarray(float(e_trial_initial), jnp.float64),
@@ -630,6 +679,40 @@ def _lexsort_walkers(up, dn, norb: int | None = None):
 # The step
 # ---------------------------------------------------------------------------
 
+def _fill_fresh(cfg, tables, up, dn, diag, ct, need):
+    """Compute diagonal elements + C(T)-cache indices for the rows flagged
+    in `need`, through a cap_fresh-sized compaction buffer (PERF_NOTES
+    ideas 2-3: every resident walker carries diag and ct, so the [M]
+    diagonal evaluation and [M]-query C(T) search run only over fresh
+    determinants).  Returns (diag, ct, overflow)."""
+    M = up.shape[0]
+    F = cfg.cap_fresh_eff
+    norb = cfg.norb
+    fpos = prefix.cumsum_i32(need.astype(jnp.int32)) - 1
+    n_need = fpos[-1] + 1
+    overflow = n_need > F
+    fdest = jnp.where(need, fpos, F)
+    fidx = jnp.full(F, M, jnp.int32).at[fdest].set(
+        jnp.arange(M, dtype=jnp.int32), mode="drop")
+    fi = jnp.clip(fidx, 0, M - 1)
+    f_up = up[fi]
+    f_dn = dn[fi]
+    fb_up = dets.to_bits(f_up, norb)
+    fb_dn = dets.to_bits(f_dn, norb)
+    f_diag = slater.diag_elements(tables.table, fb_up, fb_dn)
+    if cfg.time_sym:
+        # ts diagonal cross term z*<i|H|rev_i> for non-self-symmetric
+        # representatives (ref hamiltonian_chem_time_sym diagonal branch)
+        cross = slater.pair_matrix_elements(tables.table, fb_up, fb_dn,
+                                            fb_dn, fb_up)
+        selfs = jnp.all(f_up == f_dn, axis=1)
+        f_diag = f_diag + jnp.where(selfs, 0.0, cfg.z * cross)
+    f_ct = _searchsorted_dets(tables.ct_up, tables.ct_dn, f_up, f_dn, norb)
+    diag = diag.at[fidx].set(f_diag, mode="drop")
+    ct = ct.at[fidx].set(f_ct, mode="drop")
+    return diag, ct, overflow
+
+
 def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     """One MC generation (pure function).  Returns (new_state, stats)."""
     M = cfg.mwalk
@@ -664,8 +747,11 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         else:
             w_vec = w_imp
         # deltaw = tau * (e_trial * w - H w), H row-complete incl. diagonal
+        sorted_rows = cfg.axis_name is None   # build_walk_tables row-sorts;
+        #                                       the sharded path re-packs
         Hw = jax.ops.segment_sum(tables.imp_vals * w_vec[tables.imp_cols],
-                                 tables.imp_rows, num_segments=n_imp)
+                                 tables.imp_rows, num_segments=n_imp,
+                                 indices_are_sorted=sorted_rows)
         deltaw = tau * (e_trial * w_imp - Hw)
     else:
         imp_pos = jnp.zeros(0, jnp.int32)
@@ -694,13 +780,11 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     b_p = jnp.maximum(p_pair, q_pair)
     ntri_s = norb * (norb - 1) // 2
     is_opp = kind_pair == 2
-    # ONE packed row-gather over the concatenated same/opp row table
-    # (start/count/rowsum packed as f64 rows; exact below 2^53)
+    # row ids into the concatenated same/opp row tables; only the rowsum
+    # is needed at [M, npairs] (for the pair-selection cumulative) - the
+    # start/count descriptors are gathered per selected SLOT below
     row_cat = jnp.where(is_opp, ntri_s + tri_le(a_p, b_p), tri_lt(a_p, b_p))
-    pk = tables.hb_pack[row_cat]                  # [M, npairs, 3]
-    pr_start = pk[:, :, 0].astype(jnp.int32)
-    pr_count = pk[:, :, 1].astype(jnp.int32)
-    pr_rowsum = pk[:, :, 2]
+    pr_rowsum = tables.hb_rowsum[row_cat].astype(jnp.float64)
     if cfg.proposal == "uniform":
         pr_weight = jnp.where(pr_rowsum > 0, 1.0, 0.0)
     elif cfg.proposal == "cauchy_schwarz":
@@ -782,8 +866,11 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     qq = q_pair[b, pair_i]
     kk = kind_pair[b, pair_i]
     opp = kk == 2
-    st = pr_start[b, pair_i]
-    ct = pr_count[b, pair_i]
+    # per-slot row descriptors: ONE [CAP] gather of the row id, then
+    # planar [CAP] gathers (never a [CAP, k]-wide padded gather)
+    rc_slot = row_cat[b, pair_i]
+    st = tables.hb_start[rc_slot]
+    ct = tables.hb_count[rc_slot]
     rsum = pr_rowsum[b, pair_i]
 
     ua2 = u_all[M + 3 * CAP:M + 4 * CAP]
@@ -793,17 +880,15 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     if cfg.proposal == "fast_heatbath":
         # O(1) in-row target draw ~ |H| via per-row alias tables (ref:
         # setup_alias/sample_alias, more_tools.f90:5603,5665): uniform
-        # slot, then accept-or-alias.  The same/opp families are
-        # concatenated; (q,J) is one f32 pair gather and the target is
-        # ONE f32 gather of sign(H)*(rs+1) - only the element's SIGN
-        # matters here (the spawn magnitude is the constant W2tot form).
-        n_cat = tables.hb_alias.shape[0]
+        # slot, then accept-or-alias; planar (q, J) gathers and ONE f32
+        # gather of sign(H)*(rs+1) - only the element's SIGN matters here
+        # (the spawn magnitude is the constant W2tot form).
+        n_cat = tables.hb_alias_q.shape[0]
         slot = jnp.minimum((ue * ct).astype(jnp.int32),
                            jnp.maximum(ct - 1, 0))
         i0 = jnp.clip(st + slot, 0, n_cat - 1)
-        aq = tables.hb_alias[i0]                          # [CAP, 2]
-        rank = jnp.where(ua2.astype(jnp.float32) < aq[:, 0], slot,
-                         aq[:, 1].astype(jnp.int32))
+        rank = jnp.where(ua2.astype(jnp.float32) < tables.hb_alias_q[i0],
+                         slot, tables.hb_alias_J[i0])
         rv = tables.hb_rssign[jnp.clip(st + rank, 0, n_cat - 1)]  # [CAP]
         rs = jnp.abs(rv).astype(jnp.int32) - 1
         val_tab = rv.astype(jnp.float64)   # sign carrier only
@@ -829,8 +914,8 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
             slot_s = jnp.minimum((ua2 * norb).astype(jnp.int32), norb - 1)
             s = jnp.where(u4 < tables.cs_aliasq[qq, slot_s], slot_s,
                           tables.cs_aliasJ[qq, slot_s])
-            cp = jnp.maximum(tables.cs_rowsum[pp], 1e-300)
-            cq = jnp.maximum(tables.cs_rowsum[qq], 1e-300)
+            cp = jnp.maximum(tables.cs_rowsum[pp], TINY)
+            cq = jnp.maximum(tables.cs_rowsum[qq], TINY)
             p_dir = tables.cs_c[pp, r] * tables.cs_c[qq, s] / (cp * cq)
             p_swp = tables.cs_c[pp, s] * tables.cs_c[qq, r] / (cp * cq)
             p_rs = jnp.where(opp, p_dir, p_dir + p_swp)
@@ -882,13 +967,13 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         # p(pair, r, s) = (1-p_single) * |H| / W2tot exactly, so every
         # accepted double has constant magnitude
         w_dbl = -tau * jnp.sign(h_signed_dbl) * W2tot[b] / \
-            jnp.maximum(1.0 - p_single[b], 1e-300)
+            jnp.maximum(1.0 - p_single[b], TINY)
     else:
         prw_sel = pr_weight[b, pair_i]
-        p_sel = prw_sel / jnp.maximum(W2tot[b], 1e-300) * p_rs * \
-            jnp.maximum(1.0 - p_single[b], 1e-300)
+        p_sel = prw_sel / jnp.maximum(W2tot[b], TINY) * p_rs * \
+            jnp.maximum(1.0 - p_single[b], TINY)
         w_dbl = jnp.where(extra_fail | (p_sel <= 0), 0.0,
-                          -tau * h_signed_dbl / jnp.maximum(p_sel, 1e-300))
+                          -tau * h_signed_dbl / jnp.maximum(p_sel, TINY))
 
     dbl_up = jnp.where(opp[:, None],
                        dets.set_orb(dets.clear_orb(up_w, pp), r),
@@ -918,9 +1003,9 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         # accept - ua2 is reused from the doubles branch; each slot takes
         # exactly one branch so the streams never interact)
         slot_r = jnp.minimum((slots_ue * norb).astype(jnp.int32), norb - 1)
-        aq_s = tables.u_alias[p_s, slot_r]                # [S, 2] f32
-        r_s = jnp.where(slots_ua2.astype(jnp.float32) < aq_s[:, 0], slot_r,
-                        aq_s[:, 1].astype(jnp.int32))
+        r_s = jnp.where(
+            slots_ua2.astype(jnp.float32) < tables.u_alias_q[p_s, slot_r],
+            slot_r, tables.u_alias_J[p_s, slot_r])
         r_s_occ = jnp.where(e_up, bits_up[bb, r_s] != 0,
                             bits_dn[bb, r_s] != 0)
         # exact single element; sign by mask-window popcount on the packed
@@ -936,8 +1021,8 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         h_sng = sgn_s * slater.single_element_no_sign(
             tables.table, bits_same_sl, bits_other_sl, p_s, r_s)
         p_sel_sng = p_single[bb] * tables.u_table[p_s, r_s] / \
-            jnp.maximum(Utot[bb], 1e-300)
-        w_s = -tau * h_sng / jnp.maximum(p_sel_sng, 1e-300)
+            jnp.maximum(Utot[bb], TINY)
+        w_s = -tau * h_sng / jnp.maximum(p_sel_sng, TINY)
         moved_up = dets.set_orb(dets.clear_orb(uw, p_s), r_s)
         moved_dn = dets.set_orb(dets.clear_orb(dw, p_s), r_s)
         s_up = jnp.where(e_up[:, None], moved_up, uw)
@@ -1026,7 +1111,7 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         psi_g_t = eval_guiding(tables.guide, cfg.guiding, spawn_up,
                                spawn_dn, norb, nup, ndn)
         gp = psi_g_par[b]
-        ratio = psi_g_t / jnp.where(jnp.abs(gp) < 1e-300, 1e-300, gp)
+        ratio = psi_g_t / jnp.where(jnp.abs(gp) < TINY, TINY, gp)
         spawn_wt = spawn_wt * ratio
 
     # child flags (ref: do_walk.f90:3700-3730)
@@ -1085,17 +1170,17 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         overflow = overflow | route_ovf
 
     # ---------------- diagonal move + projection on parents ----------------
-    # compute unknown diagonal elements
-    need_diag = (state.diag > 1e50) & alive & (state.imp >= 1)
-    diag_new = slater.diag_elements(tables.table, bits_up, bits_dn)
-    if cfg.time_sym:
-        # ts diagonal cross term z*<i|H|rev_i> for non-self-symmetric
-        # representatives (ref hamiltonian_chem_time_sym diagonal branch)
-        cross = slater.pair_matrix_elements(tables.table, bits_up, bits_dn,
-                                            bits_dn, bits_up)
-        selfs_d = jnp.all(state.up == state.dn, axis=1)
-        diag_new = diag_new + jnp.where(selfs_d, 0.0, cfg.z * cross)
-    diag = jnp.where(need_diag, diag_new, state.diag)
+    # resident walkers always carry diag + ct (filled at init and for
+    # fresh dets at merge time); the cond-guarded fill only fires for
+    # states built without tables or resumed from old checkpoints
+    need = alive & ((state.diag > DIAG_UNKNOWN_THRESHOLD) | (state.ct == -2))
+    diag, ct_state, fill_ovf = jax.lax.cond(
+        jnp.any(need),
+        lambda a: _fill_fresh(cfg, tables, state.up, state.dn,
+                              a[0], a[1], need),
+        lambda a: (a[0], a[1], jnp.asarray(False)),
+        (state.diag, state.ct))
+    overflow = overflow | fill_ovf
     diag_factor = 1.0 + tau * (e_trial - diag)
     diag_factor = jnp.maximum(diag_factor, 0.0)   # clamp (ref :3788)
     wt_par = jnp.where(alive & (state.imp >= 1), wt * diag_factor, wt)
@@ -1106,45 +1191,49 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
 
     # ---------------- merge (annihilation) --------------------------------
     if not cfg.full_sort_merge:
-        out = _two_level_merge(state, cfg, keys, alive, wt_par, diag,
-                               spawn_up, spawn_dn, spawn_wt, spawn_ok,
-                               child_imp, child_init, overflow)
-        (out_up, out_dn, out_wt, out_init, out_imp, out_diag,
+        out = _two_level_merge(state, cfg, tables, keys, alive, wt_par,
+                               diag, ct_state, spawn_up, spawn_dn,
+                               spawn_wt, spawn_ok, child_imp, child_init,
+                               overflow)
+        (out_up, out_dn, out_wt, out_init, out_imp, out_diag, out_ct,
          nwalk_new, overflow) = out
         return _finalize_step(state, tables, cfg, out_up, out_dn, out_wt,
                               out_init, out_imp, out_diag, nwalk_new,
                               overflow, total_spawn, spawn_wt, spawn_ok,
-                              new_key, tau, e_trial, key_comb=keys[6])
+                              new_key, tau, e_trial, key_comb=keys[6],
+                              out_ct=out_ct)
 
-    out = _full_sort_merge(state, cfg, keys[5], alive, wt_par, diag,
-                           spawn_up, spawn_dn, spawn_wt, spawn_ok,
+    out = _full_sort_merge(state, cfg, tables, keys[5], alive, wt_par, diag,
+                           ct_state, spawn_up, spawn_dn, spawn_wt, spawn_ok,
                            child_imp, child_init, overflow)
-    (out_up, out_dn, out_wt, out_init, out_imp, out_diag,
+    (out_up, out_dn, out_wt, out_init, out_imp, out_diag, out_ct,
      nwalk_new, overflow) = out
     return _finalize_step(state, tables, cfg, out_up, out_dn, out_wt,
                           out_init, out_imp, out_diag, nwalk_new, overflow,
                           total_spawn, spawn_wt, spawn_ok, new_key, tau,
-                          e_trial, key_comb=keys[6])
+                          e_trial, key_comb=keys[6], out_ct=out_ct)
 
 
-def _full_sort_merge(state, cfg, key_red, alive, wt_par, diag,
-                     spawn_up, spawn_dn, spawn_wt, spawn_ok,
+def _full_sort_merge(state, cfg, tables, key_red, alive, wt_par, diag,
+                     ct_state, spawn_up, spawn_dn, spawn_wt, spawn_ok,
                      child_imp, child_init, overflow):
     """Annihilation by one slim variadic sort (ref:
     merge_original_with_spawned2/3, do_walk.f90:5866,6087).
 
     Three ideas keep the sort cheap:
-      * entries carry only (key words, weight, packed flags) - up/dn are
-        recovered FROM the key, validity is derived from key != sentinel,
-        and the diagonal cache is re-attached afterwards by one bisection
-        into the previous (sorted) walker list;
+      * entries carry only (key words, weight, packed flags, diag, ct) -
+        up/dn are recovered FROM the key, validity is derived from
+        key != sentinel, and the diagonal/C(T) caches ride the sort as
+        payloads (resident rows carry them; only FRESH determinants go
+        through the compacted _fill_fresh evaluation afterwards);
       * valid spawns are optionally compacted into cap_compact slots first
         (the dead 25-45% of cap_spawn never enters the sort);
-      * the group reductions collapse to THREE segment ops: a weight sum,
-        an initiator max, and one priority min whose encoding
-        (D=0 < C(T)=1 < transient-D-spawn=2 < distance d=d+1 < invalid)
-        yields membership, the merged imp code, and group validity at once
-        (ref merge rules do_walk.f90:5898-5960, check_initiator:6838).
+      * the group reductions collapse to a few segment ops: a weight sum,
+        an initiator max, diag min / ct max, and one priority min whose
+        encoding (D=0 < C(T)=1 < transient-D-spawn=2 < distance d=d+1 <
+        invalid) yields membership, the merged imp code, and group
+        validity at once (ref merge rules do_walk.f90:5898-5960,
+        check_initiator:6838).
     """
     M = cfg.mwalk
     CAP = cfg.cap_spawn
@@ -1190,16 +1279,25 @@ def _full_sort_merge(state, cfg, key_red, alive, wt_par, diag,
         s_wt_in = jnp.zeros(CAPC).at[sdest].set(s_wt_in, mode="drop")
         flags_s = jnp.full(CAPC, 131 << 2, jnp.int32).at[sdest].set(
             flags_s, mode="drop")
+    CS = flags_s.shape[0]           # CAPC or CAP
 
-    N = M + CAPC
+    N = M + CS
     all_keys = tuple(jnp.concatenate([a, b]) for a, b in zip(wkeys, skeys))
     all_wt = jnp.concatenate([wt_par, s_wt_in])
     all_flags = jnp.concatenate([flags_w, flags_s])
+    # diag/ct caches ride the sort: resident rows carry their values,
+    # spawn rows are unknown (DIAG_UNKNOWN / -2) and resolved per GROUP below
+    all_diag = jnp.concatenate([diag, jnp.full(CS, DIAG_UNKNOWN)])
+    all_ct = jnp.concatenate([jnp.where(alive, ct_state, -1),
+                              jnp.full(CS, -2, jnp.int32)])
 
-    sorted_ = jax.lax.sort((*all_keys, all_wt, all_flags), num_keys=nk)
+    sorted_ = jax.lax.sort((*all_keys, all_wt, all_flags, all_diag, all_ct),
+                           num_keys=nk)
     s_keys = sorted_[:nk]
     s_wt = sorted_[nk]
     s_flags = sorted_[nk + 1]
+    s_diag = sorted_[nk + 2]
+    s_ct = sorted_[nk + 3]
 
     neq_t = s_keys[0][1:] != s_keys[0][:-1]
     for k in s_keys[1:]:
@@ -1230,6 +1328,13 @@ def _full_sort_merge(state, cfg, key_red, alive, wt_par, diag,
                                indices_are_sorted=True).astype(jnp.float64)
     g_init = jax.ops.segment_max(init_row, gid, num_segments=N,
                                  indices_are_sorted=True)
+    # group diag/ct: rows of one group are the same det, so any resident
+    # row's value wins; all-spawn groups stay unknown (DIAG_UNKNOWN / -2) and are
+    # evaluated in the compacted fresh pass below
+    g_diag = jax.ops.segment_min(s_diag, gid, num_segments=N,
+                                 indices_are_sorted=True)
+    g_ct = jax.ops.segment_max(s_ct, gid, num_segments=N,
+                               indices_are_sorted=True)
 
     g_valid = g_u <= 127
     g_imp = jnp.where(g_u == 0, 0,
@@ -1298,13 +1403,19 @@ def _full_sort_merge(state, cfg, key_red, alive, wt_par, diag,
         out_dn = jnp.stack([out_keys[2 * W - 1 - w] for w in range(W)],
                            axis=1)
 
-    # re-attach the diagonal cache: dets that survived the merge keep their
-    # previous diagonal (one log2(M) bisection; spawns start unknown)
-    idx_old = _searchsorted_dets(state.up, state.dn, out_up, out_dn, norb)
-    out_diag = jnp.where(idx_old >= 0,
-                         diag[jnp.clip(idx_old, 0, M - 1)], 1e51)
+    # diag/ct caches: group values land directly in the output (no
+    # [M]-into-[M] re-attach bisection); FRESH groups (all-spawn, ct==-2)
+    # are evaluated through the compacted buffer
+    out_diag = jnp.full(M, DIAG_UNKNOWN).at[dest].set(g_diag, mode="drop",
+                                              unique_indices=True)
+    out_ct = jnp.full(M, -1, jnp.int32).at[dest].set(g_ct, mode="drop",
+                                                     unique_indices=True)
+    fresh = out_ct == -2
+    out_diag, out_ct, fresh_ovf = _fill_fresh(cfg, tables, out_up, out_dn,
+                                              out_diag, out_ct, fresh)
+    overflow = overflow | fresh_ovf
 
-    return (out_up, out_dn, out_wt, out_init, out_imp, out_diag,
+    return (out_up, out_dn, out_wt, out_init, out_imp, out_diag, out_ct,
             nwalk_new, overflow)
 
 
@@ -1334,9 +1445,9 @@ def _min_wt_round(cfg, key, wt, keep, imp):
     return wt, keep & ~kill
 
 
-def _two_level_merge(state, cfg, keys, alive, wt_par, diag, spawn_up,
-                     spawn_dn, spawn_wt, spawn_ok, child_imp, child_init,
-                     overflow):
+def _two_level_merge(state, cfg, tables, keys, alive, wt_par, diag,
+                     ct_state, spawn_up, spawn_dn, spawn_wt, spawn_ok,
+                     child_imp, child_init, overflow):
     """Annihilation without the big sort (ref shape:
     merge_original_with_spawned2/3, do_walk.f90:5866,6087):
 
@@ -1458,17 +1569,26 @@ def _two_level_merge(state, cfg, keys, alive, wt_par, diag, spawn_up,
         mw_init, mode="drop").at[dest_n].set(n_init_pos, mode="drop")
     out_imp = jnp.full(M, 10 ** 6, jnp.int32).at[dest_w].set(
         mw_imp, mode="drop").at[dest_n].set(n_imp_pos, mode="drop")
-    out_diag = jnp.full(M, 1e51).at[dest_w].set(diag, mode="drop").at[
-        dest_n].set(jnp.full(NEW, 1e51), mode="drop")
+    # diag/ct caches ride the rank merge: survivors keep theirs, new
+    # groups are evaluated through the compacted fresh buffer
+    out_diag = jnp.full(M, DIAG_UNKNOWN).at[dest_w].set(diag, mode="drop").at[
+        dest_n].set(jnp.full(NEW, DIAG_UNKNOWN), mode="drop")
+    out_ct = jnp.full(M, -1, jnp.int32).at[dest_w].set(
+        jnp.where(alive, ct_state, -1), mode="drop").at[
+        dest_n].set(jnp.full(NEW, -2, jnp.int32), mode="drop")
+    out_diag, out_ct, fresh_ovf = _fill_fresh(cfg, tables, out_up, out_dn,
+                                              out_diag, out_ct,
+                                              out_ct == -2)
+    overflow = overflow | fresh_ovf
 
-    return (out_up, out_dn, out_wt, out_init, out_imp, out_diag,
+    return (out_up, out_dn, out_wt, out_init, out_imp, out_diag, out_ct,
             nwalk_new, overflow)
 
 
 def _finalize_step(state, tables, cfg, out_up, out_dn, out_wt, out_init,
                    out_imp, out_diag, nwalk_new, overflow, total_spawn,
                    spawn_wt, spawn_ok, new_key, tau, e_trial,
-                   key_comb=None):
+                   key_comb=None, out_ct=None):
     # ---------------- stochastic reconfiguration (run_type sr) -------------
     if cfg.run_type == "sr":
         from .densewalk import _comb_reconfigure
@@ -1479,11 +1599,14 @@ def _finalize_step(state, tables, cfg, out_up, out_dn, out_wt, out_init,
     out_wt = out_wt * state.reweight_factor_inv
 
     # ---------------- estimators -------------------------------------------
-    ct_idx = _searchsorted_dets(tables.ct_up, tables.ct_dn, out_up, out_dn,
-                                cfg.norb)
+    if out_ct is None:
+        # two-level-merge path: C(T) positions by search (the full-sort
+        # path carries them through the merge instead)
+        out_ct = _searchsorted_dets(tables.ct_up, tables.ct_dn, out_up,
+                                    out_dn, cfg.norb)
     n_ct = tables.ct_num.shape[0]
-    safe_ct = jnp.clip(ct_idx, 0, n_ct - 1)
-    match = ct_idx >= 0
+    safe_ct = jnp.clip(out_ct, 0, n_ct - 1)
+    match = out_ct >= 0
     e_num_gen = jnp.sum(jnp.where(match, tables.ct_num[safe_ct] * out_wt, 0.0))
     e_den_gen = jnp.sum(jnp.where(match, tables.ct_den[safe_ct] * out_wt, 0.0))
     w_abs_gen = jnp.sum(jnp.abs(out_wt))
@@ -1513,7 +1636,7 @@ def _finalize_step(state, tables, cfg, out_up, out_dn, out_wt, out_init,
         state.equilibrated, e_trial,
         e_trial + jnp.sign(e_est - e_trial) * jnp.minimum(jnp.abs(e_est - e_trial), 1.0))
     pexp = jnp.minimum(1.0, tau * cfg.pop_ctrl_exponent)
-    ratio = (cfg.w_abs_target / jnp.maximum(w_abs_gen, 1e-300)) ** pexp
+    ratio = (cfg.w_abs_target / jnp.maximum(w_abs_gen, TINY)) ** pexp
     rw_eq = jnp.clip(ratio, 0.5, 2.0)
     rw_main = jnp.clip(ratio / (1.0 + tau * (e_trial_new - e_est)), 0.5, 2.0)
     reweight = jnp.where(state.equilibrated, rw_main, rw_eq)
@@ -1527,7 +1650,8 @@ def _finalize_step(state, tables, cfg, out_up, out_dn, out_wt, out_init,
 
     new_state = WalkState(
         up=out_up, dn=out_dn, wt=out_wt, init=out_init, imp=out_imp,
-        diag=out_diag, nwalk=nwalk_new, key=new_key,
+        diag=out_diag, ct=out_ct.astype(jnp.int32), nwalk=nwalk_new,
+        key=new_key,
         e_trial=e_trial_new, e_est=e_est, tau=tau_new,
         reweight_factor_inv=reweight, reached_target=reached,
         equilibrated=state.equilibrated,
@@ -1542,7 +1666,7 @@ def _finalize_step(state, tables, cfg, out_up, out_dn, out_wt, out_init,
     # more_tools.f90:5449, filled at do_walk.f90:7603-7636); bin i covers
     # [2^(i-20), 2^(i-19))
     aw_sp = jnp.abs(spawn_wt)
-    hbin = jnp.clip(jnp.floor(jnp.log2(jnp.maximum(aw_sp, 1e-300))) + 20.0,
+    hbin = jnp.clip(jnp.floor(jnp.log2(jnp.maximum(aw_sp, TINY))) + 20.0,
                     0, N_HIST_BINS - 1).astype(jnp.int32)
     hbin = jnp.where(spawn_ok & (aw_sp > 0), hbin, N_HIST_BINS)
     spawn_hist = jnp.zeros(N_HIST_BINS, jnp.int32).at[hbin].add(
@@ -1552,7 +1676,7 @@ def _finalize_step(state, tables, cfg, out_up, out_dn, out_wt, out_init,
 
     stats = dict(e_num_gen=e_num_gen, e_den_gen=e_den_gen,
                  w_abs_gen=w_abs_gen, nwalk=nwalk_stat,
-                 e_gen=e_num_gen / jnp.where(e_den_gen == 0, 1e-300, e_den_gen),
+                 e_gen=e_num_gen / jnp.where(e_den_gen == 0, TINY, e_den_gen),
                  n_spawn=total_spawn,
                  reweight_factor_inv=state.reweight_factor_inv,
                  spawn_hist=spawn_hist)
@@ -1601,7 +1725,8 @@ def grow_walk_state(state: WalkState, cfg_new: WalkConfig) -> WalkState:
         wt=jnp.concatenate([state.wt, jnp.zeros(pad)]),
         init=jnp.concatenate([state.init, jnp.zeros(pad, jnp.int32)]),
         imp=jnp.concatenate([state.imp, jnp.full(pad, 10 ** 6, jnp.int32)]),
-        diag=jnp.concatenate([state.diag, jnp.full(pad, 1e51)]),
+        diag=jnp.concatenate([state.diag, jnp.full(pad, DIAG_UNKNOWN)]),
+        ct=jnp.concatenate([state.ct, jnp.full(pad, -1, jnp.int32)]),
         overflow=jnp.asarray(False))
 
 
@@ -1663,7 +1788,7 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
         state = resume_state
     else:
         state = init_walk_state(cfg, trial, w_abs_begin, e_trial_initial,
-                                seed, guide=guide)
+                                seed, guide=guide, tables=tables)
 
     e_blocks = []
     w_trace, n_trace = [], []

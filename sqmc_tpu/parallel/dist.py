@@ -384,7 +384,10 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
         wt=jnp.asarray(s_wt.reshape(-1)),
         init=jnp.asarray(s_init.reshape(-1)),
         imp=jnp.asarray(s_imp.reshape(-1)),
-        diag=jnp.full(n_dev * M, 1e51),
+        diag=jnp.full(n_dev * M, walk_mod.DIAG_UNKNOWN),
+        # ct=-2: diag/ct caches are filled per shard by the step's
+        # cond-guarded fresh fill on the first generation
+        ct=jnp.full(n_dev * M, -2, jnp.int32),
         nwalk=jnp.asarray(counts, jnp.int32),       # per-shard counts
         key=keys,
     )
@@ -394,15 +397,16 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
 
     state_specs = WalkState(
         up=sharded, dn=sharded, wt=sharded, init=sharded, imp=sharded,
-        diag=sharded, nwalk=sharded, key=sharded,
+        diag=sharded, ct=sharded, nwalk=sharded, key=sharded,
         e_trial=repl, e_est=repl, tau=repl, reweight_factor_inv=repl,
         reached_target=repl, equilibrated=repl,
         e_num_blkabs_cum=repl, e_den_blkabs_cum=repl,
         e_num_blk=repl, e_den_blk=repl, w_abs_gen=repl, overflow=repl,
         step=repl)
     table_specs = WalkTables(
-        hb_rssign=repl, hb_alias=repl, hb_pack=repl,
-        u_table=repl, u_rowsum=repl, u_alias=repl,
+        hb_rssign=repl, hb_alias_q=repl, hb_alias_J=repl,
+        hb_start=repl, hb_count=repl, hb_rowsum=repl,
+        u_table=repl, u_rowsum=repl, u_alias_q=repl, u_alias_J=repl,
         cs_c=repl, cs_rowsum=repl, cs_aliasJ=repl, cs_aliasq=repl,
         table=jax.tree_util.tree_map(lambda _: repl, base.table),
         ct_up=repl, ct_dn=repl, ct_num=repl, ct_den=repl,

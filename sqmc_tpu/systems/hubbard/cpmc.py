@@ -158,7 +158,7 @@ def cpmc_block(state: CpmcState, setup, cfg: CpmcConfig, nstep: int):
     e_loc = e_k + e_v
     w = jnp.where(state.alive, jnp.exp(state.logw - jnp.max(
         jnp.where(state.alive, state.logw, -jnp.inf))), 0.0)
-    e_mix = jnp.sum(w * e_loc) / jnp.maximum(jnp.sum(w), 1e-300)
+    e_mix = jnp.sum(w * e_loc) / jnp.maximum(jnp.sum(w), 1e-30)
     return state, e_mix
 
 

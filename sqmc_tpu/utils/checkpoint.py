@@ -46,6 +46,7 @@ def save_walker_state(path: str, state):
         up=np.asarray(state.up), dn=np.asarray(state.dn),
         wt=np.asarray(state.wt), init=np.asarray(state.init),
         imp=np.asarray(state.imp), diag=np.asarray(state.diag),
+        ct=np.asarray(state.ct),
         nwalk=np.asarray(state.nwalk), key=np.asarray(state.key),
         e_trial=np.asarray(state.e_trial), e_est=np.asarray(state.e_est),
         tau=np.asarray(state.tau),
@@ -68,6 +69,9 @@ def load_walker_state(path: str, cfg):
         up=jnp.asarray(z["up"]), dn=jnp.asarray(z["dn"]),
         wt=jnp.asarray(z["wt"]), init=jnp.asarray(z["init"]),
         imp=jnp.asarray(z["imp"]), diag=jnp.asarray(z["diag"]),
+        # ct missing in pre-round-3 checkpoints: -2 = repaired in-step
+        ct=jnp.asarray(z["ct"]) if "ct" in z.files else
+        jnp.full(z["imp"].shape[0], -2, jnp.int32),
         nwalk=jnp.asarray(z["nwalk"]), key=jnp.asarray(z["key"]),
         e_trial=jnp.asarray(z["e_trial"]), e_est=jnp.asarray(z["e_est"]),
         tau=jnp.asarray(z["tau"]),

@@ -1,12 +1,13 @@
-"""Device-profile the walk step on the bench workload.
+"""Device-profile the walk step on a configurable workload.
 
 Runs a few generations under jax.profiler.trace and aggregates
 device_duration_ps by HLO category / op name from the trace proto, printing
 a ms/step breakdown (the tool behind PERF_NOTES.md's tables).
 
-Usage: python tools/profile_walk.py [nstep] [outdir]
+Usage: python tools/profile_walk.py [--pop P --g G --min-wt W --n-imp N ...]
 """
 
+import argparse
 import glob
 import gzip
 import json
@@ -16,48 +17,57 @@ from collections import defaultdict
 
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def build():
+def build(args):
     import jax
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(root, ".cache", "jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     jax.config.update("jax_default_prng_impl", "rbg")
     from sqmc_tpu.systems.base import make_chem_system
-    from sqmc_tpu.algo.semistoch import load_trial, build_trial_wavefunction, save_trial
     from sqmc_tpu.algo.walk import (WalkConfig, build_walk_tables,
                                     init_walk_state, walk_block)
+    from scan_walk import get_trial
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    cache = os.path.join(root, ".cache")
-    trial_path = os.path.join(cache, "c2_bench_trial.npz")
     with jax.default_device(jax.devices("cpu")[0]):
         system = make_chem_system(
             "/root/reference/C2_v2z_curve/r1.24253/FCIDUMP")
-        if os.path.exists(trial_path):
-            trial = load_trial(trial_path)
-        else:
-            trial = build_trial_wavefunction(system, eps_var=5e-3,
-                                             n_psi_t=200, n_imp=500,
-                                             verbose=False)
-            save_trial(trial, trial_path)
-    cfg = WalkConfig(mwalk=1 << 14, cap_spawn=1 << 17, norb=system.norb,
+        trial = get_trial(system, args.eps_var, args.n_psit, args.n_imp, root)
+    cfg = WalkConfig(mwalk=1 << args.mwalk_bits,
+                     cap_spawn=1 << args.cap_bits, norb=system.norb,
                      nup=system.nup, ndn=system.ndn, n_words=system.n_words,
-                     tau=2e-3, w_abs_target=200_000.0, has_singles=True,
-                     spawn_granularity=2.0)
-    tables = build_walk_tables(system, trial)
-    state = init_walk_state(cfg, trial, 50_000.0, trial.e_trial)
+                     tau=2e-3, w_abs_target=args.pop, has_singles=True,
+                     spawn_granularity=args.g, min_wt=args.min_wt)
+    tables = build_walk_tables(system, trial, cfg=cfg)
+    state = init_walk_state(cfg, trial, 0.5 * args.pop, trial.e_trial)
     return cfg, tables, state, walk_block
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pop", type=float, default=200_000.0)
+    ap.add_argument("--g", type=float, default=2.0)
+    ap.add_argument("--min-wt", type=float, default=0.5)
+    ap.add_argument("--eps-var", type=float, default=5e-3)
+    ap.add_argument("--n-psit", type=int, default=200)
+    ap.add_argument("--n-imp", type=int, default=500)
+    ap.add_argument("--mwalk-bits", type=int, default=14)
+    ap.add_argument("--cap-bits", type=int, default=17)
+    ap.add_argument("--nstep", type=int, default=100)
+    ap.add_argument("--outdir", default="/tmp/walk_trace")
+    args = ap.parse_args()
+
     import jax
     import time
-    nstep = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/walk_trace"
-    cfg, tables, state, walk_block = build()
+    nstep = args.nstep
+    outdir = args.outdir
+    cfg, tables, state, walk_block = build(args)
 
     # warm up: grow the population to target + compile (the same
     # 100-step block program the bench runs, so the compile is cached)
-    nstep = 100
     for _ in range(3):
         state, _ = walk_block(state, tables, cfg, nstep)
     jax.block_until_ready(state.wt)

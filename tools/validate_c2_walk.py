@@ -2,28 +2,22 @@
 C2 CAS(8e,26o) against the small-eps HCI+PT oracle (-75.72859 Ha; HCI
 eps_var=1e-4 E_var=-75.727145 + eps_pt=1e-7 PT -0.0014428).
 
-Measured on one v5e chip (2026-08, 3-4k generations each, tau=2e-3,
-r_initiator=1):
+ROUND-2 TABLE SUPERSEDED.  The round-2 numbers previously recorded here
+(66 mHa at the 500-det D space, 12.3 mHa at the 12k-det D space,
+"insensitive to population and min_wt") were measured under the TPU
+f64-demotion bug (PERF_NOTES.md "ROUND-3 CORRECTION"): the chip stored
+the 1e51 unknown-diagonal sentinel as inf, the diagonal repair never
+fired, and every stochastic walker outside the deterministic space died
+one step after being spawned.  Those runs effectively measured the
+D-space projection plus one generation of stochastic corrections - which
+is WHY the residual looked insensitive to population and min_wt.
 
-  pop 2e5, g=2, min_wt=0.5, 500-det D space (the throughput-bench
-  settings):
-      e_mixed = -75.662761 +- 0.000016    (65.8 mHa bias)
-  pop 6e4, g=1, min_wt=0.25, 12k-det D space + 2k-det Psi_T:
-      e_mixed = -75.716319 +- 0.0000016   (12.3 mHa)
-  pop 2e5, g=1, min_wt=0.25, same big D space:
-      e_mixed = -75.716315 +- 0.0000028   (12.3 mHa)
-
-  pop 6e4, g=1, min_wt=0.05, same big D space:
-      e_mixed = -75.716316 +- 0.0000042   (12.3 mHa)
-
-Reading: the semistochastic deterministic space is the dominant bias
-control (66 -> 12 mHa); the residual is the r_initiator=1 initiator bias
-proper - INSENSITIVE to population (6e4 vs 2e5) and to min_wt (0.25 vs
-0.05), so it shrinks only by lowering r_initiator or growing D, exactly
-the knobs the reference exposes.  The framework's unbiasedness itself is
-pinned by the r_initiator=0 statistical tests
-(test_walk/test_time_sym_walk/test_fixed_node) and the exact
-deterministic-limit tests.
+Round-3 re-validation runs at the corrected dynamics (occupied dets ~
+w_abs/min_wt + n_imp, the reference's own MWALK sizing) live in
+tools/scan_walk.py output; this script remains the single-config
+long-run driver.  The framework's unbiasedness is pinned by the
+r_initiator=0 statistical tests (test_walk/test_time_sym_walk/
+test_fixed_node) and the exact deterministic-limit tests, all CPU f64.
 """
 
 import json
@@ -61,12 +55,14 @@ def main():
                      f"n_imp={len(trial.imp_up)} "
                      f"e_trial={trial.e_trial:.6f}\n")
 
-    cfg = WalkConfig(mwalk=1 << 15, cap_spawn=1 << 17, norb=system.norb,
+    # mwalk ~ 1.3 * (w_abs/min_wt + n_imp): the CORRECT equilibrium
+    # occupied-det count (ref MWALK sizing do_walk.f90:652-674)
+    cfg = WalkConfig(mwalk=340_000, cap_spawn=1 << 18, norb=system.norb,
                      nup=system.nup, ndn=system.ndn,
                      n_words=system.n_words, tau=2e-3,
                      w_abs_target=60_000.0, has_singles=True,
                      spawn_granularity=1.0, min_wt=0.25)
-    out = run_walk(system, trial, cfg, nstep=100, nblk=30, nblk_eq=12,
+    out = run_walk(system, trial, cfg, nstep=50, nblk=60, nblk_eq=24,
                    w_abs_begin=40_000.0, e_trial_initial=trial.e_trial,
                    verbose=True, mode="scan", max_eq_extensions=5)
     print(json.dumps({"e_mixed": out.e_mixed, "e_err": out.e_err,
