@@ -290,26 +290,47 @@ def _bucket(n: int, floor: int = 4096) -> int:
 
 def generate_connections(system, ref_up: np.ndarray, ref_dn: np.ndarray,
                          eps: np.ndarray, min_H: np.ndarray | None = None,
-                         batch: int = 2048):
+                         batch: int = 2048, devices=None):
     """Generate all screened connections of a reference det list.
 
     system: FermionSystem (table, heatbath, orb_sym_arr, has_singles)
     ref_up/ref_dn: packed words [n, W] (host numpy)
     eps: [n] per-ref |H| thresholds (typically eps_var/|c_i|)
     min_H: optional [n] already-done thresholds (emit eps < |H| <= min_H)
+    devices: optional device list (e.g. mesh.devices.flat) - reference
+      batches are dispatched round-robin across them and all devices run
+      concurrently (the TPU-native analog of find_doubly_excited's
+      round-robin reference split, semistoch.f90:1743; contiguous batch
+      slicing instead of det-hash ownership keeps the emit kernels'
+      static shapes and balances work, while ownership still governs the
+      downstream sharded dedup P5)
 
     Returns numpy (cand_up [m,W], cand_dn [m,W], helem [m], ref_idx [m]),
     unmerged (duplicates across refs are kept; callers sort/merge).
     """
+    import jax
+
     n = len(ref_up)
     W = ref_up.shape[1]
     norb = system.norb
     if min_H is None:
         min_H = np.full(n, np.inf)
+    devs = list(devices) if devices is not None else [None]
 
     outs_up, outs_dn, outs_h, outs_r = [], [], [], []
-    hb = system.heatbath
-    for beg in range(0, n, batch):
+    # per-device replicas of the read-only tables (SURVEY P3: node-shared
+    # windows -> per-chip HBM replication); one transfer per device per
+    # call, reused by every batch dispatched there
+    if devs[0] is None:
+        tabs = [(system.heatbath, system.table, system.orb_sym_arr)]
+    else:
+        tabs = [jax.device_put((system.heatbath, system.table,
+                                system.orb_sym_arr), d) for d in devs]
+
+    # pass 1: dispatch the per-batch emission counts on their devices
+    # (async - no host sync until every device has its counting work)
+    counts = []
+    for k, beg in enumerate(range(0, n, batch)):
         end = min(beg + batch, n)
         nb = end - beg
         pad = batch - nb
@@ -317,32 +338,42 @@ def generate_connections(system, ref_up: np.ndarray, ref_dn: np.ndarray,
         rd = np.concatenate([ref_dn[beg:end], np.repeat(ref_dn[:1], pad, 0)])
         ev = np.concatenate([eps[beg:end], np.full(pad, np.inf)])
         mh = np.concatenate([min_H[beg:end], np.full(pad, np.inf)])
-
-        ru_j, rd_j = jnp.asarray(ru), jnp.asarray(rd)
-        ev_j, mh_j = jnp.asarray(ev), jnp.asarray(mh)
-
-        n_emit, lo, desc = count_doubles(hb, ru_j, rd_j, ev_j, mh_j,
+        kd = k % len(devs)
+        hb_k, _, _ = tabs[kd]
+        dev = devs[kd]
+        if dev is not None:
+            ru_j, rd_j = jax.device_put(ru, dev), jax.device_put(rd, dev)
+            ev_j, mh_j = jax.device_put(ev, dev), jax.device_put(mh, dev)
+        else:
+            ru_j, rd_j = jnp.asarray(ru), jnp.asarray(rd)
+            ev_j, mh_j = jnp.asarray(ev), jnp.asarray(mh)
+        n_emit, lo, desc = count_doubles(hb_k, ru_j, rd_j, ev_j, mh_j,
                                          nup=system.nup, ndn=system.ndn)
-        total = int(jnp.sum(n_emit))
+        counts.append((kd, beg, ru_j, rd_j, ev_j, mh_j, n_emit, lo, desc,
+                       jnp.sum(n_emit)))
+
+    # pass 2: dispatch doubles + singles emission (async round-robin);
+    # device->host copies happen only in the final collection loop
+    pend = []
+    for (kd, beg, ru_j, rd_j, ev_j, mh_j, n_emit, lo, desc, tot) in counts:
+        hb_k, table_k, sym_k = tabs[kd]
+        total = int(tot)
         if total > 0:
             cap = _bucket(total)
-            d = emit_doubles(hb, system.table, ru_j, rd_j, n_emit, lo, desc,
+            d = emit_doubles(hb_k, table_k, ru_j, rd_j, n_emit, lo, desc,
                              cap=cap, norb=norb)
-            v = np.asarray(d["valid"])
-            outs_up.append(np.asarray(d["new_up"])[v])
-            outs_dn.append(np.asarray(d["new_dn"])[v])
-            outs_h.append(np.asarray(d["helem"])[v])
-            outs_r.append(np.asarray(d["ref"])[v].astype(np.int64) + beg)
-
+            pend.append((beg, d))
         if system.has_singles:
-            s = emit_singles(system.table, system.orb_sym_arr, ru_j, rd_j,
+            s = emit_singles(table_k, sym_k, ru_j, rd_j,
                              ev_j, mh_j, nup=system.nup, ndn=system.ndn,
                              norb=norb)
-            v = np.asarray(s["valid"])
-            outs_up.append(np.asarray(s["new_up"])[v])
-            outs_dn.append(np.asarray(s["new_dn"])[v])
-            outs_h.append(np.asarray(s["helem"])[v])
-            outs_r.append(np.asarray(s["ref"])[v].astype(np.int64) + beg)
+            pend.append((beg, s))
+    for beg, d in pend:
+        v = np.asarray(d["valid"])
+        outs_up.append(np.asarray(d["new_up"])[v])
+        outs_dn.append(np.asarray(d["new_dn"])[v])
+        outs_h.append(np.asarray(d["helem"])[v])
+        outs_r.append(np.asarray(d["ref"])[v].astype(np.int64) + beg)
 
     if not outs_up:
         zz = np.zeros((0, W), np.uint64)

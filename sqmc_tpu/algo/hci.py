@@ -117,6 +117,11 @@ def run_hci(system, eps_var: float, eps_var_sched=None, n_states: int = 1,
     frozen virtuals; generated candidates violating either mask are
     discarded (ref: hci.f90:384-412)."""
     nup, ndn, norb = system.nup, system.ndn, system.norb
+    # mesh devices: candidate generation and sparse-H evaluation batches
+    # fan out round-robin across them (SURVEY P5 compute side; ref
+    # find_doubly_excited round-robin semistoch.f90:1743 and the MPI
+    # sparse-H row split chemistry.f90:8012)
+    devices = list(mesh.devices.flat) if mesh is not None else None
 
     # variational wavefunction cache (ref: hci.f90 wf_eps_var=<eps> files)
     if wf_cache_dir is not None:
@@ -179,7 +184,8 @@ def run_hci(system, eps_var: float, eps_var_sched=None, n_states: int = 1,
             if gen_mask.any():
                 cu, cd, _, _ = generate_connections(
                     system, up[gen_mask], dn[gen_mask],
-                    eps_per_ref[gen_mask], min_H_done[gen_mask])
+                    eps_per_ref[gen_mask], min_H_done[gen_mask],
+                    devices=devices)
             else:
                 cu = np.zeros((0, up.shape[1]), np.uint64)
                 cd = cu.copy()
@@ -234,7 +240,8 @@ def run_hci(system, eps_var: float, eps_var_sched=None, n_states: int = 1,
 
         with phase("generate_sparse_ham", enabled=verbose):
             H = build_sparse_ham(system.table, up2, dn2, nup, ndn, norb,
-                                 prev=H, prev_map=prev_map, **ts)
+                                 prev=H, prev_map=prev_map,
+                                 devices=devices, **ts)
 
         # starting vectors: previous wavefunction; extra states get unit
         # vectors on the lowest unneeded diagonal elements

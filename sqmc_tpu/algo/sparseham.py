@@ -180,7 +180,7 @@ def connected_pairs(up: np.ndarray, dn: np.ndarray, nup: int, ndn: int,
 
 
 def eval_pairs(table, up, dn, a, b, norb, batch: int = 1 << 18,
-               time_sym: bool = False, z: int = 1):
+               time_sym: bool = False, z: int = 1, devices=None):
     """Signed H elements for det pairs (a,b), device-batched.
 
     Pairs are partitioned by excitation class on the host (numpy popcount
@@ -188,17 +188,40 @@ def eval_pairs(table, up, dn, a, b, norb, batch: int = 1 << 18,
     kernel - no per-pair argsorts, no dead diagonal/single branches (the
     generic pair_matrix_elements kernel was ~70% of the variational-stage
     wall time).  The time-sym path keeps the generic symmetrized kernel.
+
+    devices: optional device list - batches are dispatched round-robin
+    and resolved after every device has its work queued (the TPU-native
+    analog of the reference's MPI row split in
+    generate_sparse_ham_chem_upper_triangular_mpi, chemistry.f90:8012).
     """
+    import jax
+
+    devs = list(devices) if devices is not None else [None]
+    tabs = [table] if devs[0] is None else \
+        [jax.device_put(table, d) for d in devs]
+    kdev = [0]
+
+    def _next(arrs):
+        k = kdev[0] % len(devs)
+        kdev[0] += 1
+        if devs[k] is None:
+            return tabs[0], [jnp.asarray(x) for x in arrs]
+        return tabs[k], [jax.device_put(x, devs[k]) for x in arrs]
+
     if time_sym:
         out = np.empty(len(a))
+        pend = []
         for beg in range(0, len(a), batch):
             end = min(beg + batch, len(a))
+            tab_k, _ = _next(())
             bu_i = dets_mod.to_bits(jnp.asarray(up[a[beg:end]]), norb)
             bd_i = dets_mod.to_bits(jnp.asarray(dn[a[beg:end]]), norb)
             bu_j = dets_mod.to_bits(jnp.asarray(up[b[beg:end]]), norb)
             bd_j = dets_mod.to_bits(jnp.asarray(dn[b[beg:end]]), norb)
-            out[beg:end] = np.asarray(slater.pair_matrix_elements_time_sym(
-                table, bu_i, bd_i, bu_j, bd_j, z))
+            pend.append((beg, end, slater.pair_matrix_elements_time_sym(
+                tab_k, bu_i, bd_i, bu_j, bd_j, z)))
+        for beg, end, v in pend:
+            out[beg:end] = np.asarray(v)
         return out
 
     ui, uj = up[a], up[b]
@@ -206,13 +229,14 @@ def eval_pairs(table, up, dn, a, b, norb, batch: int = 1 << 18,
     n_up = np.bitwise_count(ui & ~uj).sum(axis=1).astype(np.int8)
     n_dn = np.bitwise_count(di & ~dj).sum(axis=1).astype(np.int8)
     out = np.zeros(len(a))
+    pend = []
 
     def run(mask, fn, *arrs):
         idx = np.nonzero(mask)[0]
         for beg in range(0, len(idx), batch):
             sl = idx[beg:beg + batch]
-            out[sl] = np.asarray(fn(table, *[jnp.asarray(x[sl])
-                                             for x in arrs]))
+            tab_k, dev_arrs = _next([x[sl] for x in arrs])
+            pend.append((sl, fn(tab_k, *dev_arrs)))
 
     run((n_up == 2) & (n_dn == 0), slater.same_spin_double_words, ui, uj)
     run((n_up == 0) & (n_dn == 2), slater.same_spin_double_words, di, dj)
@@ -223,12 +247,13 @@ def eval_pairs(table, up, dn, a, b, norb, batch: int = 1 << 18,
         idx = np.nonzero(mask)[0]
         for beg in range(0, len(idx), batch):
             sl = idx[beg:beg + batch]
-            out[sl] = np.asarray(slater.single_words(
-                table, jnp.asarray(wi[sl]), jnp.asarray(wj[sl]),
-                jnp.asarray(wo[sl]), norb))
+            tab_k, dev_arrs = _next([wi[sl], wj[sl], wo[sl]])
+            pend.append((sl, slater.single_words(tab_k, *dev_arrs, norb)))
 
     run_single((n_up == 1) & (n_dn == 0), ui, uj, di)
     run_single((n_up == 0) & (n_dn == 1), di, dj, ui)
+    for sl, v in pend:
+        out[sl] = np.asarray(v)
     return out
 
 
@@ -248,7 +273,8 @@ def build_sparse_ham(table, up: np.ndarray, dn: np.ndarray, nup: int,
                      ndn: int, norb: int,
                      prev: SparseHam | None = None,
                      prev_map: np.ndarray | None = None,
-                     time_sym: bool = False, z: int = 1) -> SparseHam:
+                     time_sym: bool = False, z: int = 1,
+                     devices=None) -> SparseHam:
     """Full sparse H over a det list, with incremental reuse.
 
     prev: SparseHam of a previous (smaller) det list; prev_map [prev.n]
@@ -307,7 +333,8 @@ def build_sparse_ham(table, up: np.ndarray, dn: np.ndarray, nup: int,
         a_p, b_p = find_pairs(up_p, dn_p, len(old_rows))
         a = perm[a_p]
         b = perm[b_p]
-        vals = eval_pairs(table, up, dn, a, b, norb, time_sym=time_sym, z=z)
+        vals = eval_pairs(table, up, dn, a, b, norb, time_sym=time_sym,
+                          z=z, devices=devices)
         keep = vals != 0.0
         a, b, vals = a[keep], b[keep], vals[keep]
         # remap previous entries
@@ -320,7 +347,8 @@ def build_sparse_ham(table, up: np.ndarray, dn: np.ndarray, nup: int,
         v = np.concatenate([prev.vals, vals])
     else:
         a, b = find_pairs(up, dn, 0)
-        vals = eval_pairs(table, up, dn, a, b, norb, time_sym=time_sym, z=z)
+        vals = eval_pairs(table, up, dn, a, b, norb, time_sym=time_sym,
+                          z=z, devices=devices)
         keep = vals != 0.0
         rows, cols, v = a[keep], b[keep], vals[keep]
 
