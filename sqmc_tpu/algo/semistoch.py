@@ -213,6 +213,34 @@ def build_trial_iterate(system, n_iters: int, n_initiators, n_truncate,
     return _assemble_trial(system, up, dn, coefs, n_psi_t, up, dn)
 
 
+def build_trial_from_cards(system, trial_wf_iters: int, norb_trial_wf,
+                           n_initiators_trial_wf, n_truncate_trial_wf,
+                           size_deterministic: int,
+                           verbose: bool = False) -> TrialWavefunction:
+    """Reference-faithful Psi_T + D construction for walk-mode card decks
+    (ref: Psi_T via generate_space_iterate with the trial_wf cards,
+    hamiltonian_mod.f90:113-115; when diff_from_psi_t is false the
+    deterministic space is the top size_deterministic dets of the same
+    final expansion, semistoch.f90:263,403-420).
+
+    trial_wf_iters == 0 reproduces the reference's iters<=0 path: Psi_T is
+    the initial space (HF) and D its top size_deterministic slice."""
+    size_det = max(int(size_deterministic), 1)
+    n_psi_t = int(n_truncate_trial_wf[-1]) if trial_wf_iters > 0 else 1
+    n_trunc = [int(x) for x in n_truncate_trial_wf]
+    if n_trunc:
+        # ref :263: last iteration keeps >= 1.5*size_deterministic so the
+        # D-space truncation has material to cut from
+        n_trunc[-1] = max(n_trunc[-1], size_det)
+    up, dn, coefs, _energy = generate_space_iterate(
+        system, max(trial_wf_iters, 0),
+        list(n_initiators_trial_wf) or [1],
+        n_trunc or [1],
+        norb_active=list(norb_trial_wf) or None, verbose=verbose)
+    iu, idn, _ = _top_by_coef(up, dn, coefs, size_det)
+    return _assemble_trial(system, up, dn, coefs, n_psi_t, iu, idn)
+
+
 def load_trial_from_reference(system, psit_con_file: str,
                               dtm_file: str | None = None,
                               n_imp: int = 1) -> TrialWavefunction:

@@ -122,9 +122,33 @@ def run_det_walk(cfg, system, verbose: bool = True):
             system, cfg.imp_iters, cfg.n_imp_init, cfg.n_imp_trunc,
             norb_active=cfg.norb_imp or None,
             n_psi_t=max(cfg.n_truncate_det or 200, 1), verbose=verbose)
+    elif cfg.trial_wf_iters >= 0:
+        # reference-faithful default: Psi_T from the deck's trial_wf cards
+        # (ref hamiltonian_mod.f90:113-115), D = top size_deterministic of
+        # the same final expansion (ref semistoch.f90:263,403-420)
+        from .algo.semistoch import build_trial_from_cards
+        if verbose:
+            print(f"trial_wf_iters, norb_trial_wf, n_initiators_trial_wf, "
+                  f"n_truncate_trial_wf: {cfg.trial_wf_iters} "
+                  f"{cfg.norb_trial_wf} {cfg.n_initiators_trial_wf} "
+                  f"{cfg.n_truncate_trial_wf}")
+        trial = build_trial_from_cards(
+            system, cfg.trial_wf_iters, cfg.norb_trial_wf,
+            cfg.n_initiators_trial_wf, cfg.n_truncate_trial_wf,
+            cfg.size_deterministic or 1, verbose=verbose)
     else:
+        # deck carries no trial-wf cards (not a complete reference walk
+        # deck): fall back to an HCI-built trial and SAY SO - this is a
+        # framework convenience, not a reference construction
+        eps_fallback = cfg.eps_var if cfg.eps_var < 1 else 2e-3
+        if verbose:
+            print(f"WARNING: no trial_wf cards in deck; building Psi_T "
+                  f"from HCI eps_var={eps_fallback:g} "
+                  f"(n_psi_t={max(cfg.n_truncate_det or 200, 1)}, "
+                  f"n_imp={cfg.size_deterministic or 1000}) - not a "
+                  "reference-card construction")
         trial = build_trial_wavefunction(
-            system, eps_var=cfg.eps_var if cfg.eps_var < 1 else 2e-3,
+            system, eps_var=eps_fallback,
             n_psi_t=max(cfg.n_truncate_det or 200, 1),
             n_imp=cfg.size_deterministic or 1000, verbose=verbose)
 
@@ -167,9 +191,27 @@ def run_det_walk(cfg, system, verbose: bool = True):
         print(f"proposal_method {cfg.proposal_method} -> fast_heatbath "
               "(exact joint-|H| heat bath)")
 
-    mwalk = cfg.mwalk or 1 << 16
+    # MWALK auto-size (ref do_walk.f90:652-674): the equilibrium number of
+    # occupied determinants is ~ w_abs_target/min_wt (every unit of weight
+    # fragments down to the min_wt floor) plus the always-resident D space
+    if cfg.mwalk:
+        mwalk = cfg.mwalk
+    elif cfg.semistochastic:
+        mwalk = int(3.5 * (cfg.w_abs_target / cfg.min_wt
+                           + len(trial.imp_up)))
+        if verbose:
+            print(f"1Setting MWALK=3.5*(w_abs_gen_target/min_wt+n_imp)="
+                  f"{mwalk:10d}")
+    else:
+        mwalk = int(4 * cfg.w_abs_target / cfg.min_wt)
+        if verbose:
+            print(f"2Setting MWALK=4*(w_abs_gen_target/min_wt)={mwalk:10d}")
+    mwalk = max(mwalk, 4096)
+    # spawn slots per generation ~ 2*w_abs/g (sea walkers draw 0-or-1
+    # children at probability |w|/(0.5 g); heavier walkers |w|/g each)
+    cap_spawn = max(int(3 * cfg.w_abs_target), 4 * 4096)
     wcfg = WalkConfig(
-        mwalk=mwalk, cap_spawn=4 * mwalk, norb=system.norb, nup=system.nup,
+        mwalk=mwalk, cap_spawn=cap_spawn, norb=system.norb, nup=system.nup,
         ndn=system.ndn, n_words=system.n_words, tau=tau or 2e-3,
         w_abs_target=cfg.w_abs_target, r_initiator=cfg.r_initiator,
         initiator_power=cfg.initiator_power, min_wt=cfg.min_wt,
@@ -211,7 +253,11 @@ def run_from_config(cfg, fcidump: str | None = None, verbose: bool = True):
                                  cfg.cutoff_radius)
         print(f"For this cell, HF kinetic, exchange, total energies = "
               f"{system.extra['energy_hf']:.8f}")
-        print(f"Madelung energy ={system.extra['energy_madelung']:10.6f}")
+        if system.extra["madelung_implemented"]:
+            print(f"Madelung energy ={system.extra['energy_madelung']:10.6f}")
+        else:
+            print("Madelung energy not implemented for 2D "
+                  "(ref heg.f90:2845); totals exclude it")
     elif cfg.hamiltonian_type == "hubbardk":
         from .systems.hubbard.system import make_hubbard_k_system
         system = make_hubbard_k_system(cfg.l_x, cfg.l_y, cfg.t_hub,
@@ -330,7 +376,8 @@ def run_from_config(cfg, fcidump: str | None = None, verbose: bool = True):
         print(f"Total energy({state + 1})={out['e_tot']:26.9f}")
         if state == 0:
             print(f"Total energy={out['e_tot']:26.9f}")
-        if cfg.hamiltonian_type == "heg":
+        if cfg.hamiltonian_type == "heg" and \
+                system.extra["madelung_implemented"]:
             print(f"Total energy (includ. Madelung)="
                   f"{out['e_tot'] + system.extra['energy_madelung']:22.9f}")
         outs.append(out)

@@ -90,6 +90,14 @@ class SqmcInput:
     norb_imp: list = dataclasses.field(default_factory=list)
     n_imp_init: list = dataclasses.field(default_factory=list)
     n_imp_trunc: list = dataclasses.field(default_factory=list)
+    # trial-wavefunction construction cards, read for chem walk-mode decks
+    # (ref chemistry.f90:204-219; Psi_T built by generate_space_iterate
+    # with these at hamiltonian_mod.f90:113-115)
+    n_core_orb: int = 0
+    trial_wf_iters: int = -1          # -1 = cards absent from the deck
+    norb_trial_wf: list = dataclasses.field(default_factory=list)
+    n_initiators_trial_wf: list = dataclasses.field(default_factory=list)
+    n_truncate_trial_wf: list = dataclasses.field(default_factory=list)
     # toy backends (ref hamiltonian_mod.f90:81-92,320-344)
     bosonic: int = 1
     spectrum_coef: float = 1.0
@@ -309,6 +317,26 @@ def parse_input(text: str) -> SqmcInput:
         if cfg.time_sym:
             cfg.z = int(take(1)[0])
         cfg.norb = int(take(1)[0])
+        # trial-wf construction cards (ref chemistry.f90:204-219; read for
+        # run_type /= hci): n_core_orb, trial_wf_iters, then the three
+        # per-iteration arrays (the array records are consumed even at
+        # iters=0, matching Fortran's empty list-directed reads).  Decks
+        # without these cards (next line is already the comma-separated
+        # symmetry list) keep trial_wf_iters = -1.
+        def _is_sym_list(line):
+            return line.split()[0].count(",") >= max(2, cfg.norb // 4)
+
+        if cfg.run_type != "hci" and i < len(lines) \
+                and not _is_sym_list(lines[i]):
+            cfg.n_core_orb = int(take(1)[0])
+            cfg.trial_wf_iters = int(take(1)[0])
+            n = cfg.trial_wf_iters
+            arrs = []
+            for _ in range(3):
+                toks = take()          # record consumed even when n == 0
+                arrs.append([int(x) for x in toks[:n]] if n > 0 else [])
+            (cfg.norb_trial_wf, cfg.n_initiators_trial_wf,
+             cfg.n_truncate_trial_wf) = arrs
         # remaining chem cards up to orbital_symmetries: skip numeric cards
         # until we find the long comma-separated symmetry list
         while i < len(lines):

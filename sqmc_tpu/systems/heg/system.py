@@ -57,9 +57,14 @@ def generate_k_vectors(n_dim: int, length_cell: float, cutoff_radius: float):
 
 
 def madelung_energy(n_dim: int, length_cell: float, nelec: int) -> float:
-    """Ewald self-interaction constant (3D; ref: heg.f90:2828)."""
+    """Ewald self-interaction constant (3D only; ref: heg.f90:2828).
+
+    The reference hard-stops for n_dim /= 3 (heg.f90:2845); we raise the
+    equivalent error and let make_heg_system record the absence explicitly
+    instead of silently folding a 0 into "total incl. Madelung" lines."""
     if n_dim != 3:
-        return 0.0
+        raise ValueError(
+            "Madelung energy is only implemented for 3D (ref heg.f90:2845)")
     kappa = 10.0 / length_cell
     n_max = 1
     while True:
@@ -111,7 +116,10 @@ def make_heg_system(n_dim: int, r_s: float, nelec: int, nup: int,
     X = np.asarray(table.exchange)
     e_kin = float(np.sum((u + d) * np.diag(h)))
     e_x = float(-0.5 * (u @ X @ u) - 0.5 * (d @ X @ d))
-    e_mad = madelung_energy(n_dim, length_cell, nelec)
+    # madelung_implemented=False (2D) means energy_madelung carries NO
+    # physics and must not be folded into "incl. Madelung" totals
+    madelung_ok = n_dim == 3
+    e_mad = madelung_energy(n_dim, length_cell, nelec) if madelung_ok else 0.0
 
     return FermionSystem(
         name="heg", norb=norb, nup=nup, ndn=ndn, table=table, heatbath=hb,
@@ -119,5 +127,5 @@ def make_heg_system(n_dim: int, r_s: float, nelec: int, nup: int,
         has_singles=False, hf_up=hf_up, hf_dn=hf_dn,
         extra=dict(n_dim=n_dim, r_s=r_s, length_cell=length_cell,
                    k_vectors=k, k_rel=k_rel, energy_hf=e_kin + e_x,
-                   energy_madelung=e_mad),
+                   energy_madelung=e_mad, madelung_implemented=madelung_ok),
     )

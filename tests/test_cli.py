@@ -330,6 +330,11 @@ d2h                                point_group
 f                                  time_sym
 1                                  z
 26                                 norb
+0                                  n_core_spatial_orb
+2                                  trial_wf_iterations
+26 26                              norb_trial_wf
+1 20                               trial_wf_initiators
+50 80                              n_sym_uniq_det_trial_wf
 1,5,3,2,1,7,6,5,1,2,3,1,6,7,5,4,1,5,3,2,8,5,1,7,6,5, orbital_symmetries(1:norb)
 1                                  spatial_symmetry_wf
 0                                  diagonalize_ham
@@ -348,6 +353,10 @@ def test_chem_walk_from_cards(tmp_path):
         capture_output=True, text=True, cwd=REPO, timeout=560)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "tau_multiplier" in out.stdout        # tau deduced and printed
+    # Psi_T must come from the deck's trial_wf cards (ref
+    # hamiltonian_mod.f90:113), not an invented HCI fallback
+    assert "trial_wf_iters" in out.stdout
+    assert "WARNING: no trial_wf cards" not in out.stdout
     m = re.search(r"e_mixed=\s*([-+0-9.]+)\s*\+-\s*([0-9.eE-]+)",
                   out.stdout)
     assert m, out.stdout[-1500:]
