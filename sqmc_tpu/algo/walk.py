@@ -131,6 +131,15 @@ class WalkConfig:
     @property
     def cap_fresh_eff(self):
         return self.cap_fresh or max(self.cap_spawn // 8, 8192)
+
+    # store wt/diag (and the C(T)/projection tables) in f32.  On TPU the
+    # nominal-f64 path pays double-float emulation on every scatter/segment
+    # op (measured ~8x on the merge's scatters) for precision the physics
+    # does not need: weight noise is O(1) by design, f32 diag rounding
+    # (~5e-6 Ha) and f32 C(T) ratios (~1e-7 rel) sit far below the mHa
+    # scale, and the per-generation estimator/population reductions still
+    # accumulate in f64.  Default False: CPU validation runs are bit-f64.
+    f32_state: bool = False
     axis_name: str | None = None
     n_dev: int = 1
     # projector variant (ref run_type dispatch do_walk.f90:38-50; move
@@ -241,6 +250,13 @@ class WalkTables(NamedTuple):
     imp_rows: jnp.ndarray
     imp_cols: jnp.ndarray
     imp_vals: jnp.ndarray
+    # block-ELL layout of the same matrix (single-device path): rows padded
+    # to 128-slot blocks so the projection is gather + [nb,128] row-sum +
+    # a tiny [n_blocks] segment-sum instead of a [nnz]-long f64 scatter-add
+    # (measured 165 ms/step at 1.5M nnz on v5e - TPU scatter-adds serialize)
+    imp_ell_cols: jnp.ndarray    # [P] i32 (pad -> 0)
+    imp_ell_vals: jnp.ndarray    # [P] f64 (pad -> 0)
+    imp_ell_row: jnp.ndarray     # [P//128] i32 row id per block
     # guiding wavefunction (importance sampling / fixed-node; empty
     # placeholder when cfg.guiding == 'none')
     guide: object
@@ -414,6 +430,7 @@ def build_walk_tables(system, trial, guide=None, cfg=None) -> WalkTables:
     ord_r = np.argsort(r_all, kind="stable")
     r_all, c_all, v_all = r_all[ord_r], c_all[ord_r], v_all[ord_r]
 
+    fdt = np.float32 if (cfg is not None and cfg.f32_state) else np.float64
     ct_num = np.asarray(trial.ct_num, np.float64)
     ct_den = np.asarray(trial.ct_den, np.float64)
     if guiding_kind != "none":
@@ -475,6 +492,26 @@ def build_walk_tables(system, trial, guide=None, cfg=None) -> WalkTables:
     # and weight normalization read the same array)
     hb_rowsum = np.concatenate([s_rowsum, o_rowsum]).astype(np.float32)
 
+    # block-ELL layout of the (final, possibly guiding/FN-transformed)
+    # projection matrix: each row's entries padded to 128-slot blocks
+    if n_imp > 0:
+        counts = np.bincount(r_all, minlength=n_imp)
+        nb_r = np.maximum(1, -(-counts // 128))
+        block_starts = np.concatenate([[0], np.cumsum(nb_r)])[:-1] * 128
+        csr_start = np.concatenate([[0], np.cumsum(counts)])
+        P = int(np.sum(nb_r)) * 128
+        ell_cols = np.zeros(P, np.int32)
+        ell_vals = np.zeros(P)
+        slot = block_starts[r_all] + (np.arange(len(r_all)) -
+                                      csr_start[r_all])
+        ell_cols[slot] = c_all
+        ell_vals[slot] = v_all
+        ell_row = np.repeat(np.arange(n_imp, dtype=np.int32), nb_r)
+    else:
+        ell_cols = np.zeros(0, np.int32)
+        ell_vals = np.zeros(0)
+        ell_row = np.zeros(0, np.int32)
+
     return WalkTables(
         hb_rssign=jnp.asarray(hb_rssign),
         hb_alias_q=jnp.asarray(hb_alias_q),
@@ -488,10 +525,14 @@ def build_walk_tables(system, trial, guide=None, cfg=None) -> WalkTables:
         cs_aliasJ=jnp.asarray(cs_J2), cs_aliasq=jnp.asarray(cs_q2),
         table=table,
         ct_up=jnp.asarray(trial.ct_up), ct_dn=jnp.asarray(trial.ct_dn),
-        ct_num=jnp.asarray(ct_num), ct_den=jnp.asarray(ct_den),
+        ct_num=jnp.asarray(ct_num.astype(fdt)),
+        ct_den=jnp.asarray(ct_den.astype(fdt)),
         imp_up=jnp.asarray(trial.imp_up), imp_dn=jnp.asarray(trial.imp_dn),
         imp_rows=jnp.asarray(r_all), imp_cols=jnp.asarray(c_all),
-        imp_vals=jnp.asarray(v_all),
+        imp_vals=jnp.asarray(v_all.astype(fdt)),
+        imp_ell_cols=jnp.asarray(ell_cols),
+        imp_ell_vals=jnp.asarray(ell_vals.astype(fdt)),
+        imp_ell_row=jnp.asarray(ell_row),
         guide=guide,
     )
 
@@ -738,8 +779,19 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     # sorted and D dets are always present in the walker list
     n_imp = tables.imp_up.shape[0]
     if cfg.semistochastic and n_imp > 0:
-        imp_pos = _searchsorted_dets(state.up, state.dn, tables.imp_up,
-                                     tables.imp_dn)
+        if cfg.axis_name is None and tables.imp_ell_row.shape[0] > 0:
+            # D dets are always resident (init seeds them; min_wt rounding
+            # exempts imp==0), and both the walker list and the D list are
+            # sorted by the same det order, so the k-th imp==0 slot IS the
+            # k-th D det: ONE compaction replaces the log(M) binary search
+            is_imp = alive & (state.imp == 0)
+            rank = prefix.cumsum_i32(is_imp.astype(jnp.int32)) - 1
+            imp_pos = jnp.full(n_imp, -1, jnp.int32).at[
+                jnp.where(is_imp, rank, n_imp)].set(
+                jnp.arange(M, dtype=jnp.int32), mode="drop")
+        else:
+            imp_pos = _searchsorted_dets(state.up, state.dn, tables.imp_up,
+                                         tables.imp_dn)
         w_imp = jnp.where(imp_pos >= 0, wt[jnp.clip(imp_pos, 0, M - 1)], 0.0)
         if cfg.axis_name is not None:
             # columns index the all-gathered global D-weight vector (P4)
@@ -747,11 +799,20 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         else:
             w_vec = w_imp
         # deltaw = tau * (e_trial * w - H w), H row-complete incl. diagonal
-        sorted_rows = cfg.axis_name is None   # build_walk_tables row-sorts;
-        #                                       the sharded path re-packs
-        Hw = jax.ops.segment_sum(tables.imp_vals * w_vec[tables.imp_cols],
-                                 tables.imp_rows, num_segments=n_imp,
-                                 indices_are_sorted=sorted_rows)
+        if cfg.axis_name is None and tables.imp_ell_row.shape[0] > 0:
+            # block-ELL: gather + [nb,128] row-sum + tiny segment-sum (a
+            # [nnz]-long f64 scatter-add serializes on TPU: 165 ms/step
+            # at 1.5M nnz vs ~10 ms for this form)
+            prod = tables.imp_ell_vals * w_vec[tables.imp_ell_cols]
+            blk = jnp.sum(prod.reshape(-1, 128), axis=1)
+            Hw = jax.ops.segment_sum(blk, tables.imp_ell_row,
+                                     num_segments=n_imp,
+                                     indices_are_sorted=True)
+        else:
+            sorted_rows = cfg.axis_name is None
+            Hw = jax.ops.segment_sum(tables.imp_vals * w_vec[tables.imp_cols],
+                                     tables.imp_rows, num_segments=n_imp,
+                                     indices_are_sorted=sorted_rows)
         deltaw = tau * (e_trial * w_imp - Hw)
     else:
         imp_pos = jnp.zeros(0, jnp.int32)

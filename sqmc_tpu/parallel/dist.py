@@ -359,6 +359,10 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
         imp_rows=jnp.asarray(rows.reshape(-1)),
         imp_cols=jnp.asarray(cols.reshape(-1)),
         imp_vals=jnp.asarray(vals.reshape(-1)),
+        # sharded path keeps the COO segment-sum (per-shard re-pack)
+        imp_ell_cols=jnp.zeros(0, jnp.int32),
+        imp_ell_vals=jnp.zeros(0),
+        imp_ell_row=jnp.zeros(0, jnp.int32),
     )
 
     # initial population distributed by owner
@@ -412,6 +416,7 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
         ct_up=repl, ct_dn=repl, ct_num=repl, ct_den=repl,
         imp_up=sharded, imp_dn=sharded, imp_rows=sharded, imp_cols=sharded,
         imp_vals=sharded,
+        imp_ell_cols=repl, imp_ell_vals=repl, imp_ell_row=repl,
         guide=jax.tree_util.tree_map(lambda _: repl, base.guide))
     stats_specs = dict(e_num_gen=repl, e_den_gen=repl, w_abs_gen=repl,
                        nwalk=repl, e_gen=repl, n_spawn=repl,
