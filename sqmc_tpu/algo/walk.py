@@ -254,9 +254,10 @@ class WalkTables(NamedTuple):
     # to 128-slot blocks so the projection is gather + [nb,128] row-sum +
     # a tiny [n_blocks] segment-sum instead of a [nnz]-long f64 scatter-add
     # (measured 165 ms/step at 1.5M nnz on v5e - TPU scatter-adds serialize)
-    imp_ell_cols: jnp.ndarray    # [P] i32 (pad -> 0)
-    imp_ell_vals: jnp.ndarray    # [P] f64 (pad -> 0)
+    imp_ell_cols: jnp.ndarray    # [P] i32 (pad -> 0), off-diagonal only
+    imp_ell_vals: jnp.ndarray    # [P] f64/f32 (pad -> 0), off-diag only
     imp_ell_row: jnp.ndarray     # [P//128] i32 row id per block
+    imp_diag: jnp.ndarray        # [n_imp] f64 H diagonal (ELL path)
     # guiding wavefunction (importance sampling / fixed-node; empty
     # placeholder when cfg.guiding == 'none')
     guide: object
@@ -493,21 +494,31 @@ def build_walk_tables(system, trial, guide=None, cfg=None) -> WalkTables:
     hb_rowsum = np.concatenate([s_rowsum, o_rowsum]).astype(np.float32)
 
     # block-ELL layout of the (final, possibly guiding/FN-transformed)
-    # projection matrix: each row's entries padded to 128-slot blocks
+    # projection matrix: each row's OFF-DIAGONAL entries padded to
+    # 128-slot blocks; the diagonal is split out as a dense [n_imp] f64
+    # vector so the step can use the well-conditioned difference form
+    # deltaw = tau*((e_trial - diag_i) w_i - Hoff w) - the two terms are
+    # O(correlation energy * w) instead of O(E_tot * w), which keeps the
+    # f32-state projection (cfg.f32_state) at ~1e-10 relative error
     if n_imp > 0:
-        counts = np.bincount(r_all, minlength=n_imp)
+        imp_diag = np.zeros(n_imp)
+        dmask = r_all == c_all
+        np.add.at(imp_diag, r_all[dmask], v_all[dmask])
+        r_off, c_off, v_off = r_all[~dmask], c_all[~dmask], v_all[~dmask]
+        counts = np.bincount(r_off, minlength=n_imp)
         nb_r = np.maximum(1, -(-counts // 128))
         block_starts = np.concatenate([[0], np.cumsum(nb_r)])[:-1] * 128
         csr_start = np.concatenate([[0], np.cumsum(counts)])
         P = int(np.sum(nb_r)) * 128
         ell_cols = np.zeros(P, np.int32)
         ell_vals = np.zeros(P)
-        slot = block_starts[r_all] + (np.arange(len(r_all)) -
-                                      csr_start[r_all])
-        ell_cols[slot] = c_all
-        ell_vals[slot] = v_all
+        slot = block_starts[r_off] + (np.arange(len(r_off)) -
+                                      csr_start[r_off])
+        ell_cols[slot] = c_off
+        ell_vals[slot] = v_off
         ell_row = np.repeat(np.arange(n_imp, dtype=np.int32), nb_r)
     else:
+        imp_diag = np.zeros(0)
         ell_cols = np.zeros(0, np.int32)
         ell_vals = np.zeros(0)
         ell_row = np.zeros(0, np.int32)
@@ -533,6 +544,7 @@ def build_walk_tables(system, trial, guide=None, cfg=None) -> WalkTables:
         imp_ell_cols=jnp.asarray(ell_cols),
         imp_ell_vals=jnp.asarray(ell_vals.astype(fdt)),
         imp_ell_row=jnp.asarray(ell_row),
+        imp_diag=jnp.asarray(imp_diag),
         guide=guide,
     )
 
@@ -547,12 +559,13 @@ def init_walk_state(cfg: WalkConfig, trial, w_abs_begin: float,
     positive for fixed-node runs; ref do_walk.f90:1212-1217).
     """
     M, W = cfg.mwalk, cfg.n_words
+    sdt = np.float32 if cfg.f32_state else np.float64
     up = np.full((M, W), SENTINEL, dtype=np.uint64)
     dn = np.full((M, W), SENTINEL, dtype=np.uint64)
-    wt = np.zeros(M)
+    wt = np.zeros(M, sdt)
     init = np.zeros(M, np.int32)
     imp = np.full(M, 10 ** 6, np.int32)
-    diag = np.full(M, DIAG_UNKNOWN)
+    diag = np.full(M, DIAG_UNKNOWN, sdt)
     ct = np.full(M, -1, np.int32)
 
     # union of Psi_T and D-space dets, sorted
@@ -749,7 +762,7 @@ def _fill_fresh(cfg, tables, up, dn, diag, ct, need):
         selfs = jnp.all(f_up == f_dn, axis=1)
         f_diag = f_diag + jnp.where(selfs, 0.0, cfg.z * cross)
     f_ct = _searchsorted_dets(tables.ct_up, tables.ct_dn, f_up, f_dn, norb)
-    diag = diag.at[fidx].set(f_diag, mode="drop")
+    diag = diag.at[fidx].set(f_diag.astype(diag.dtype), mode="drop")
     ct = ct.at[fidx].set(f_ct, mode="drop")
     return diag, ct, overflow
 
@@ -769,6 +782,10 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     new_key = keys[0]
     tau = state.tau
     e_trial = state.e_trial
+    # walker-state dtype (cfg.f32_state): weights/diag stored + sorted +
+    # scattered in f32; scalar control flow and per-generation estimator
+    # reductions stay f64
+    wdt = jnp.float32 if cfg.f32_state else jnp.float64
 
     alive = jnp.arange(M) < state.nwalk
     wt = jnp.where(alive, state.wt, 0.0)
@@ -802,18 +819,23 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         if cfg.axis_name is None and tables.imp_ell_row.shape[0] > 0:
             # block-ELL: gather + [nb,128] row-sum + tiny segment-sum (a
             # [nnz]-long f64 scatter-add serializes on TPU: 165 ms/step
-            # at 1.5M nnz vs ~10 ms for this form)
+            # at 1.5M nnz vs ~10 ms for this form).  Difference form
+            # (e_trial - diag_i) w_i - Hoff w: both terms are
+            # O(E_corr * w), so the f32-state path loses nothing
             prod = tables.imp_ell_vals * w_vec[tables.imp_ell_cols]
             blk = jnp.sum(prod.reshape(-1, 128), axis=1)
-            Hw = jax.ops.segment_sum(blk, tables.imp_ell_row,
-                                     num_segments=n_imp,
-                                     indices_are_sorted=True)
+            Hw_off = jax.ops.segment_sum(blk, tables.imp_ell_row,
+                                         num_segments=n_imp,
+                                         indices_are_sorted=True)
+            deltaw = tau * ((e_trial - tables.imp_diag) *
+                            w_imp.astype(jnp.float64) -
+                            Hw_off.astype(jnp.float64))
         else:
             sorted_rows = cfg.axis_name is None
             Hw = jax.ops.segment_sum(tables.imp_vals * w_vec[tables.imp_cols],
                                      tables.imp_rows, num_segments=n_imp,
                                      indices_are_sorted=sorted_rows)
-        deltaw = tau * (e_trial * w_imp - Hw)
+            deltaw = tau * (e_trial * w_imp - Hw)
     else:
         imp_pos = jnp.zeros(0, jnp.int32)
         deltaw = jnp.zeros(0)
@@ -845,7 +867,7 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     # is needed at [M, npairs] (for the pair-selection cumulative) - the
     # start/count descriptors are gathered per selected SLOT below
     row_cat = jnp.where(is_opp, ntri_s + tri_le(a_p, b_p), tri_lt(a_p, b_p))
-    pr_rowsum = tables.hb_rowsum[row_cat].astype(jnp.float64)
+    pr_rowsum = tables.hb_rowsum[row_cat].astype(wdt)
     if cfg.proposal == "uniform":
         pr_weight = jnp.where(pr_rowsum > 0, 1.0, 0.0)
     elif cfg.proposal == "cauchy_schwarz":
@@ -858,12 +880,12 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     # reshaping of the in-row split - far below statistical resolution;
     # f64 arithmetic is software-emulated on TPU and dominated this block
     pair_cum = prefix.cumsum_rows(pr_weight.astype(jnp.float32))
-    W2tot = pair_cum[:, -1].astype(jnp.float64)              # [M]
+    W2tot = pair_cum[:, -1].astype(wdt)                      # [M]
 
     if cfg.has_singles:
         u_rows = tables.u_rowsum[jnp.concatenate([occ_up, occ_dn], axis=1)]
         sing_cum = prefix.cumsum_rows(u_rows.astype(jnp.float32))
-        Utot = sing_cum[:, -1].astype(jnp.float64)           # [M]
+        Utot = sing_cum[:, -1].astype(wdt)                   # [M]
     else:
         sing_cum = jnp.zeros((M, 1))
         Utot = jnp.zeros(M)
@@ -1211,6 +1233,7 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
 
     spawn_up = jnp.where(spawn_ok[:, None], spawn_up, jnp.uint64(SENTINEL))
     spawn_dn = jnp.where(spawn_ok[:, None], spawn_dn, jnp.uint64(SENTINEL))
+    spawn_wt = spawn_wt.astype(wdt)   # storage dtype (f64 math above)
     child_imp = jnp.where(spawn_ok, child_imp, 10 ** 6)
     child_init = jnp.where(spawn_ok, child_init, 0)
 
@@ -1244,11 +1267,13 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     overflow = overflow | fill_ovf
     diag_factor = 1.0 + tau * (e_trial - diag)
     diag_factor = jnp.maximum(diag_factor, 0.0)   # clamp (ref :3788)
-    wt_par = jnp.where(alive & (state.imp >= 1), wt * diag_factor, wt)
+    wt_par = jnp.where(alive & (state.imp >= 1),
+                       wt * diag_factor, wt).astype(wdt)
     # exact projection on D-space walkers
     if cfg.semistochastic and n_imp > 0:
         safe_pos = jnp.clip(imp_pos, 0, M - 1)
-        wt_par = wt_par.at[safe_pos].add(jnp.where(imp_pos >= 0, deltaw, 0.0))
+        wt_par = wt_par.at[safe_pos].add(
+            jnp.where(imp_pos >= 0, deltaw, 0.0).astype(wdt))
 
     # ---------------- merge (annihilation) --------------------------------
     if not cfg.full_sort_merge:
@@ -1301,6 +1326,7 @@ def _full_sort_merge(state, cfg, tables, key_red, alive, wt_par, diag,
     W = cfg.n_words
     norb = cfg.norb
     CAPC = cfg.cap_compact_eff
+    wdt = wt_par.dtype
     fused32 = (W == 1 and norb <= 32)
     nk = 1 if fused32 else 2 * W
 
@@ -1337,7 +1363,7 @@ def _full_sort_merge(state, cfg, tables, key_red, alive, wt_par, diag,
         sdest = jnp.where(spawn_ok, cpos, CAPC)
         skeys = [jnp.full(CAPC, SENT).at[sdest].set(k, mode="drop")
                  for k in skeys]
-        s_wt_in = jnp.zeros(CAPC).at[sdest].set(s_wt_in, mode="drop")
+        s_wt_in = jnp.zeros(CAPC, wdt).at[sdest].set(s_wt_in, mode="drop")
         flags_s = jnp.full(CAPC, 131 << 2, jnp.int32).at[sdest].set(
             flags_s, mode="drop")
     CS = flags_s.shape[0]           # CAPC or CAP
@@ -1348,7 +1374,7 @@ def _full_sort_merge(state, cfg, tables, key_red, alive, wt_par, diag,
     all_flags = jnp.concatenate([flags_w, flags_s])
     # diag/ct caches ride the sort: resident rows carry their values,
     # spawn rows are unknown (DIAG_UNKNOWN / -2) and resolved per GROUP below
-    all_diag = jnp.concatenate([diag, jnp.full(CS, DIAG_UNKNOWN)])
+    all_diag = jnp.concatenate([diag, jnp.full(CS, DIAG_UNKNOWN, wdt)])
     all_ct = jnp.concatenate([jnp.where(alive, ct_state, -1),
                               jnp.full(CS, -2, jnp.int32)])
 
@@ -1386,7 +1412,7 @@ def _full_sort_merge(state, cfg, tables, key_red, alive, wt_par, diag,
     # may flip a keep/round decision - a <=1e-16 weight perturbation.
     g_wt = jax.ops.segment_sum(wtc.astype(jnp.float32), gid,
                                num_segments=N,
-                               indices_are_sorted=True).astype(jnp.float64)
+                               indices_are_sorted=True).astype(wdt)
     g_init = jax.ops.segment_max(init_row, gid, num_segments=N,
                                  indices_are_sorted=True)
     # group diag/ct: rows of one group are the same det, so any resident
@@ -1442,7 +1468,7 @@ def _full_sort_merge(state, cfg, tables, key_red, alive, wt_par, diag,
     out_keys = [scat64(dest_row, SENT, k) for k in s_keys]
     # exact f64 group sums, accumulated IN the output array (one f64
     # scatter-add instead of an f64 segment-sum plus an f64 scatter)
-    out_wt_raw = jnp.zeros(M).at[jnp.where(kg, pg, M)].add(
+    out_wt_raw = jnp.zeros(M, wdt).at[jnp.where(kg, pg, M)].add(
         wtc, mode="drop")
     out_rnd = jnp.zeros(M, bool).at[dest].set(rounded, mode="drop",
                                               unique_indices=True)
@@ -1467,8 +1493,8 @@ def _full_sort_merge(state, cfg, tables, key_red, alive, wt_par, diag,
     # diag/ct caches: group values land directly in the output (no
     # [M]-into-[M] re-attach bisection); FRESH groups (all-spawn, ct==-2)
     # are evaluated through the compacted buffer
-    out_diag = jnp.full(M, DIAG_UNKNOWN).at[dest].set(g_diag, mode="drop",
-                                              unique_indices=True)
+    out_diag = jnp.full(M, DIAG_UNKNOWN, wdt).at[dest].set(
+        g_diag, mode="drop", unique_indices=True)
     out_ct = jnp.full(M, -1, jnp.int32).at[dest].set(g_ct, mode="drop",
                                                      unique_indices=True)
     fresh = out_ct == -2
@@ -1524,6 +1550,7 @@ def _two_level_merge(state, cfg, tables, keys, alive, wt_par, diag,
     W = cfg.n_words
     NEW = cfg.cap_new_eff
     norb = cfg.norb
+    wdt = wt_par.dtype
     k_round_w, k_round_n = jax.random.split(keys[5])
 
     # ---- level 1: hits on existing walkers --------------------------------
@@ -1558,7 +1585,7 @@ def _two_level_merge(state, cfg, tables, keys, alive, wt_par, diag,
         spawn_up, mode="drop")
     nu_dn = jnp.full((NEW, W), jnp.uint64(SENTINEL)).at[destn].set(
         spawn_dn, mode="drop")
-    nu_wt = jnp.zeros(NEW).at[destn].set(
+    nu_wt = jnp.zeros(NEW, wdt).at[destn].set(
         jnp.where(nf, spawn_wt, 0.0), mode="drop")
     nu_init = jnp.zeros(NEW, jnp.int32).at[destn].set(
         jnp.where(nf, child_init, 0), mode="drop")
@@ -1624,7 +1651,7 @@ def _two_level_merge(state, cfg, tables, keys, alive, wt_par, diag,
         state.up, mode="drop").at[dest_n].set(s_nup, mode="drop")
     out_dn = jnp.full((M, W), jnp.uint64(SENTINEL)).at[dest_w].set(
         state.dn, mode="drop").at[dest_n].set(s_ndn, mode="drop")
-    out_wt = jnp.zeros(M).at[dest_w].set(mw_wt, mode="drop").at[
+    out_wt = jnp.zeros(M, wdt).at[dest_w].set(mw_wt, mode="drop").at[
         dest_n].set(n_wt_pos, mode="drop")
     out_init = jnp.zeros(M, jnp.int32).at[dest_w].set(
         mw_init, mode="drop").at[dest_n].set(n_init_pos, mode="drop")
@@ -1632,8 +1659,9 @@ def _two_level_merge(state, cfg, tables, keys, alive, wt_par, diag,
         mw_imp, mode="drop").at[dest_n].set(n_imp_pos, mode="drop")
     # diag/ct caches ride the rank merge: survivors keep theirs, new
     # groups are evaluated through the compacted fresh buffer
-    out_diag = jnp.full(M, DIAG_UNKNOWN).at[dest_w].set(diag, mode="drop").at[
-        dest_n].set(jnp.full(NEW, DIAG_UNKNOWN), mode="drop")
+    out_diag = jnp.full(M, DIAG_UNKNOWN, wdt).at[
+        dest_w].set(diag, mode="drop").at[
+        dest_n].set(jnp.full(NEW, DIAG_UNKNOWN, wdt), mode="drop")
     out_ct = jnp.full(M, -1, jnp.int32).at[dest_w].set(
         jnp.where(alive, ct_state, -1), mode="drop").at[
         dest_n].set(jnp.full(NEW, -2, jnp.int32), mode="drop")
@@ -1654,10 +1682,11 @@ def _finalize_step(state, tables, cfg, out_up, out_dn, out_wt, out_init,
     if cfg.run_type == "sr":
         from .densewalk import _comb_reconfigure
         n_comb = cfg.sr_nwalk or int(cfg.w_abs_target)
-        out_wt = _comb_reconfigure(out_wt, key_comb, n_comb)
+        out_wt = _comb_reconfigure(out_wt, key_comb, n_comb).astype(
+            out_wt.dtype)
 
     # ---------------- reweight ---------------------------------------------
-    out_wt = out_wt * state.reweight_factor_inv
+    out_wt = out_wt * state.reweight_factor_inv.astype(out_wt.dtype)
 
     # ---------------- estimators -------------------------------------------
     if out_ct is None:
@@ -1668,9 +1697,11 @@ def _finalize_step(state, tables, cfg, out_up, out_dn, out_wt, out_init,
     n_ct = tables.ct_num.shape[0]
     safe_ct = jnp.clip(out_ct, 0, n_ct - 1)
     match = out_ct >= 0
-    e_num_gen = jnp.sum(jnp.where(match, tables.ct_num[safe_ct] * out_wt, 0.0))
-    e_den_gen = jnp.sum(jnp.where(match, tables.ct_den[safe_ct] * out_wt, 0.0))
-    w_abs_gen = jnp.sum(jnp.abs(out_wt))
+    e_num_gen = jnp.sum(jnp.where(match, tables.ct_num[safe_ct] * out_wt,
+                                  0.0), dtype=jnp.float64)
+    e_den_gen = jnp.sum(jnp.where(match, tables.ct_den[safe_ct] * out_wt,
+                                  0.0), dtype=jnp.float64)
+    w_abs_gen = jnp.sum(jnp.abs(out_wt), dtype=jnp.float64)
     nwalk_stat = nwalk_new
     if cfg.axis_name is not None:
         # control scalars are global: every shard sees the same values
@@ -1783,10 +1814,12 @@ def grow_walk_state(state: WalkState, cfg_new: WalkConfig) -> WalkState:
                             jnp.full((pad, W), jnp.uint64(SENTINEL))]),
         dn=jnp.concatenate([state.dn,
                             jnp.full((pad, W), jnp.uint64(SENTINEL))]),
-        wt=jnp.concatenate([state.wt, jnp.zeros(pad)]),
+        wt=jnp.concatenate([state.wt, jnp.zeros(pad, state.wt.dtype)]),
         init=jnp.concatenate([state.init, jnp.zeros(pad, jnp.int32)]),
         imp=jnp.concatenate([state.imp, jnp.full(pad, 10 ** 6, jnp.int32)]),
-        diag=jnp.concatenate([state.diag, jnp.full(pad, DIAG_UNKNOWN)]),
+        diag=jnp.concatenate([state.diag,
+                              jnp.full(pad, DIAG_UNKNOWN,
+                                       state.diag.dtype)]),
         ct=jnp.concatenate([state.ct, jnp.full(pad, -1, jnp.int32)]),
         overflow=jnp.asarray(False))
 

@@ -363,6 +363,7 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
         imp_ell_cols=jnp.zeros(0, jnp.int32),
         imp_ell_vals=jnp.zeros(0),
         imp_ell_row=jnp.zeros(0, jnp.int32),
+        imp_diag=jnp.zeros(0),
     )
 
     # initial population distributed by owner
@@ -417,6 +418,7 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
         imp_up=sharded, imp_dn=sharded, imp_rows=sharded, imp_cols=sharded,
         imp_vals=sharded,
         imp_ell_cols=repl, imp_ell_vals=repl, imp_ell_row=repl,
+        imp_diag=repl,
         guide=jax.tree_util.tree_map(lambda _: repl, base.guide))
     stats_specs = dict(e_num_gen=repl, e_den_gen=repl, w_abs_gen=repl,
                        nwalk=repl, e_gen=repl, n_spawn=repl,

@@ -64,3 +64,44 @@ def test_no_f32_unsafe_literals_in_walk_device_code():
                 continue
             bad.append((line, text))
     assert not bad, f"f32-unsafe literals in device code: {bad}"
+
+
+def test_f32_state_walk_accuracy():
+    """cfg.f32_state stores wt/diag and the projection/C(T) tables in f32
+    (the TPU's native float).  On an exactly-solvable HEG the
+    deterministic limit must hold to the f32 rounding floor and a
+    stochastic run must reproduce the f64-mode energy within statistical
+    resolution (same seed, same configuration)."""
+    from sqmc_tpu.systems.heg.system import make_heg_system
+    from sqmc_tpu.algo.hci import run_hci
+    from sqmc_tpu.algo.semistoch import build_trial_wavefunction
+    from sqmc_tpu.algo.walk import WalkConfig, run_walk
+
+    sys_ = make_heg_system(3, 1.0, 4, 2, 1.6)
+    res = run_hci(sys_, eps_var=1e-9, eps_var_sched=[1e-9] * 30,
+                  max_iters=60, verbose=False)
+    trial = build_trial_wavefunction(sys_, eps_var=1e-9,
+                                     n_psi_t=len(res.up),
+                                     n_imp=len(res.up), verbose=False)
+    cfg = WalkConfig(mwalk=2048, cap_spawn=4096, norb=sys_.norb, nup=2,
+                     ndn=2, n_words=1, tau=5e-3, w_abs_target=500.0,
+                     has_singles=False, f32_state=True)
+    out = run_walk(sys_, trial, cfg, nstep=30, nblk=2, nblk_eq=1,
+                   w_abs_begin=500.0, e_trial_initial=res.energies[0],
+                   verbose=False)
+    assert abs(out.e_mixed - res.energies[0]) < 5e-6
+
+    trial2 = build_trial_wavefunction(sys_, eps_var=1e-3, n_psi_t=30,
+                                      n_imp=10, verbose=False)
+    es = {}
+    for f32 in (False, True):
+        cfg = WalkConfig(mwalk=4096, cap_spawn=16384, norb=sys_.norb,
+                         nup=2, ndn=2, n_words=1, tau=5e-3,
+                         w_abs_target=2000.0, has_singles=False,
+                         r_initiator=0.0, f32_state=f32)
+        out = run_walk(sys_, trial2, cfg, nstep=100, nblk=6, nblk_eq=3,
+                       w_abs_begin=1000.0,
+                       e_trial_initial=res.energies[0], verbose=False)
+        es[f32] = (out.e_mixed, out.e_err)
+    assert abs(es[True][0] - es[False][0]) < \
+        6 * max(es[True][1], es[False][1]) + 2e-5

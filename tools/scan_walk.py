@@ -65,6 +65,8 @@ def main():
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--two-level", action="store_true",
                     help="use the two-level merge instead of the full sort")
+    ap.add_argument("--f32", action="store_true",
+                    help="f32 walker-state mode (cfg.f32_state)")
     ap.add_argument("--w-begin", type=float, default=0.0,
                     help="initial |weight| (default pop)")
     args = ap.parse_args()
@@ -96,7 +98,8 @@ def main():
                      w_abs_target=args.pop, has_singles=True,
                      spawn_granularity=args.g, min_wt=args.min_wt,
                      r_initiator=args.r_init,
-                     full_sort_merge=not args.two_level)
+                     full_sort_merge=not args.two_level,
+                     f32_state=args.f32)
     out = run_walk(system, trial, cfg, nstep=args.nstep, nblk=args.nblk,
                    nblk_eq=args.nblk_eq,
                    w_abs_begin=args.w_begin or args.pop,
@@ -120,6 +123,7 @@ def main():
         * out.steps_per_sec,
         "weight_steps_per_sec": pop * out.steps_per_sec,
         "merge": "two_level" if args.two_level else "full_sort",
+        "f32_state": args.f32,
         "mwalk": cfg.mwalk, "cap_spawn": cfg.cap_spawn,
     }
     line = json.dumps(rec)
