@@ -411,6 +411,7 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
     table_specs = WalkTables(
         hb_rssign=repl, hb_alias_q=repl, hb_alias_J=repl,
         hb_start=repl, hb_count=repl, hb_rowsum=repl,
+        hb_rs_dense=repl, hb_ro_dense=repl,
         u_table=repl, u_rowsum=repl, u_alias_q=repl, u_alias_J=repl,
         cs_c=repl, cs_rowsum=repl, cs_aliasJ=repl, cs_aliasq=repl,
         table=jax.tree_util.tree_map(lambda _: repl, base.table),
