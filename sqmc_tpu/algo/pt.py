@@ -36,28 +36,50 @@ from .connect import generate_connections
 
 
 def _diag_elements_np(table, up, dn, norb, batch=1 << 17,
-                      time_sym=False, z=1):
+                      time_sym=False, z=1, devices=None):
     if time_sym:
         from .sparseham import ts_diag_elements
         return ts_diag_elements(table, up, dn, norb, z)
+    devs = list(devices) if devices is not None else [None]
+    if devs[0] is not None:
+        # round-robin batch dispatch across mesh devices (async; the
+        # device->host copies in the collection loop are the only syncs)
+        tabs = [jax.device_put(table, d) for d in devs]
+        batch = max(4096, -(-len(up) // len(devs)))
+    else:
+        tabs = [table]
     out = np.empty(len(up))
-    for beg in range(0, len(up), batch):
+    pend = []
+    for k, beg in enumerate(range(0, len(up), batch)):
         end = min(beg + batch, len(up))
-        bu = dets_mod.to_bits(jnp.asarray(up[beg:end]), norb)
-        bd = dets_mod.to_bits(jnp.asarray(dn[beg:end]), norb)
-        out[beg:end] = np.asarray(slater.diag_elements(table, bu, bd))
+        kd = k % len(devs)
+        if devs[kd] is not None:
+            bu = dets_mod.to_bits(jax.device_put(up[beg:end], devs[kd]), norb)
+            bd = dets_mod.to_bits(jax.device_put(dn[beg:end], devs[kd]), norb)
+        else:
+            bu = dets_mod.to_bits(jnp.asarray(up[beg:end]), norb)
+            bd = dets_mod.to_bits(jnp.asarray(dn[beg:end]), norb)
+        pend.append((beg, end, slater.diag_elements(tabs[kd], bu, bd)))
+    for beg, end, d in pend:
+        out[beg:end] = np.asarray(d)
     return out
 
 
 def second_order_pt(system, up, dn, wts, var_energy: float, eps_pt: float,
-                    verbose: bool = True, batch: int = 2048):
+                    verbose: bool = True, batch: int = 2048, mesh=None):
     """Deterministic screened PT-2.  up/dn: sorted variational dets [n,W];
-    wts: [n] coefficients of the state.  Returns (delta_e2, n_connected)."""
+    wts: [n] coefficients of the state.  Returns (delta_e2, n_connected).
+
+    mesh: optional jax.sharding.Mesh - the reference-det scan and the
+    external-det diagonal evaluation are dispatched round-robin across the
+    mesh devices (ref: the per-core reference split of
+    find_doubly_excited, semistoch.f90:1743)."""
+    devs = list(mesh.devices.flat) if mesh is not None else None
     coeffs = np.abs(wts)
     coeffs = np.where(coeffs == 0.0, 1e-300, coeffs)
     with phase("Deterministic 2nd-order PT correction", enabled=verbose):
         cu, cd, h, ref = generate_connections(system, up, dn, eps_pt / coeffs,
-                                              batch=batch)
+                                              batch=batch, devices=devs)
         contrib = h * wts[ref]
         cu_u, cd_u, (num,), _ = setalg.unique_dets(cu, cd, [contrib])
         # count connections as the reference does: unique over candidates
@@ -71,7 +93,8 @@ def second_order_pt(system, up, dn, wts, var_energy: float, eps_pt: float,
         ext = setalg.setdiff_dets(cu_u, cd_u, up, dn)
         cu_e, cd_e, num_e = cu_u[ext], cd_u[ext], num[ext]
         diag_e = _diag_elements_np(system.table, cu_e, cd_e, system.norb,
-                                   time_sym=system.time_sym, z=system.z)
+                                   time_sym=system.time_sym, z=system.z,
+                                   devices=devs)
         delta_e2 = float(np.sum(num_e ** 2 / (var_energy - diag_e)))
     if verbose:
         print(f"Number of connected dets={n_connected}", flush=True)
@@ -105,28 +128,18 @@ def second_order_pt_alias(system, up, dn, wts, var_energy: float,
         / (E - H_aa) / (n_mc (n_mc-1)).
     Welford mean/variance until std < target_error (ref: tools.f90 welford).
 
-    mesh: optional jax.sharding.Mesh - replicated-stream distributed PT
-    (SURVEY P6; ref shared alias seed do_walk.f90:233 + round-robin split
-    hci.f90:1482): every device sees the SAME sample stream, keeps only
-    the external-det contributions it owns (det-hash ownership), and a
-    psum over the mesh assembles each sample estimate.  Bitwise-identical
-    to the single-device path up to float reduction order.
+    mesh: optional jax.sharding.Mesh - distributed PT the reference's way
+    (ref: the round-robin split of the compressed sample references across
+    cores, hci.f90:1482-1520): the compressed refs of each sample are
+    sliced across the mesh devices, every device generates connections for
+    ONLY its slice (the per-sample hot work), and the external-det
+    diagonal evaluation is likewise round-robined.  The term sums per
+    external det are assembled on the host before squaring (the reference
+    merges contributions across cores before the quotient for the same
+    reason), so the estimate is identical to the single-device path up to
+    float reduction order.
     """
-    masked_psum = None
-    if mesh is not None:
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
-        from ..parallel.dist import det_owner_np
-
-        n_dev = mesh.devices.size
-
-        def _own_sum(contrib, owner):
-            i = jax.lax.axis_index("d")
-            return jax.lax.psum(
-                jnp.sum(jnp.where(owner == i, contrib, 0.0)), "d")
-
-        masked_psum = jax.jit(shard_map(
-            _own_sum, mesh=mesh, in_specs=(P(), P()), out_specs=P()))
+    devs = list(mesh.devices.flat) if mesh is not None else None
 
     n = len(up)
     absw = np.abs(wts)
@@ -150,8 +163,10 @@ def second_order_pt_alias(system, up, dn, wts, var_energy: float,
         w_over_p = counts / prob[uniq]
 
         eps_ref = eps_pt / coeffs_full[uniq]
+        gc_batch = 2048 if devs is None else max(32, -(-len(uniq) // len(devs)))
         cu, cd, h, ref = generate_connections(system, up[uniq], dn[uniq],
-                                              eps_ref)
+                                              eps_ref, batch=gc_batch,
+                                              devices=devs)
         ci = wts[uniq][ref]
         wop = w_over_p[ref]
         hc = h * ci
@@ -166,16 +181,10 @@ def second_order_pt_alias(system, up, dn, wts, var_energy: float,
         ext = setalg.setdiff_dets(cu_u, cd_u, up, dn)
         dex = _diag_elements_np(system.table, cu_u[ext], cd_u[ext],
                                 system.norb, time_sym=system.time_sym,
-                                z=system.z)
+                                z=system.z, devices=devs)
         contrib = (T1[ext] ** 2 + T2[ext] - T1b[ext] ** 2 - T2b[ext]) \
             / (var_energy - dex)
-        if masked_psum is not None:
-            owner = det_owner_np(cu_u[ext], cd_u[ext], n_dev)
-            tot = float(masked_psum(jnp.asarray(contrib),
-                                    jnp.asarray(owner)))
-        else:
-            tot = float(np.sum(contrib))
-        e_sample = tot / (n_mc * (n_mc - 1))
+        e_sample = float(np.sum(contrib)) / (n_mc * (n_mc - 1))
 
         nsamp += 1
         d = e_sample - mean
@@ -266,7 +275,7 @@ def do_pt(system, up, dn, wts, diag, var_energy: float, eps_var: float,
 
     if n_est < n_max_connections and eps_pt_big <= 0:
         pt, n_conn = second_order_pt(system, up, dn, wts, var_energy, eps_pt,
-                                     verbose=verbose)
+                                     verbose=verbose, mesh=mesh)
         if verbose:
             print(f"Variational energy={var_energy:26.9f}")
             print(f"Total energy={var_energy + pt:26.9f}", flush=True)
@@ -289,7 +298,8 @@ def do_pt(system, up, dn, wts, diag, var_energy: float, eps_var: float,
                   f"{pt_big:.9f}", flush=True)
     elif eps_pt_big < eps_var:
         pt_big, n_conn = second_order_pt(system, up, dn, wts, var_energy,
-                                         eps_pt_big, verbose=verbose)
+                                         eps_pt_big, verbose=verbose,
+                                         mesh=mesh)
     else:
         pt_big, n_conn = 0.0, 0
 
