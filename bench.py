@@ -2,19 +2,27 @@
 measured in the SAME run (BASELINE.json: walker-steps/sec per chip + energy
 error in mHa at matched stochastic error).
 
-Physics-qualified configuration (tools/validate_c2_walk.py): 12k-det
-semistochastic deterministic space (HCI eps_var=1e-3), 2k-det Psi_T,
-spawn granularity g=1, min_wt=0.25, r_initiator=1, pop 2e5, tau=2e-3.
-Long-run validation of these settings measured e_mixed = -75.7163 Ha
-against the small-eps oracle -75.72859 (HCI eps_var=1e-4 + eps_pt=1e-7),
-i.e. ~12.3 mHa initiator bias - vs 66 mHa at the round-2 bench settings
-(500-det D space).  bias_mHa below is measured in THIS run.
+Configuration (round-3, selected by the on-chip scans in
+.cache/scan_r3*.jsonl / tools/scan_walk.py after the TPU f64-demotion fix
+re-validated the physics): 12k-det semistochastic deterministic space (HCI
+eps_var=1e-3), 2k-det Psi_T, granularity g=2, min_wt=0.5, r_initiator=0.5,
+f32 walker state, pop 2e5, tau=2e-3.  The measured initiator-bias ladder
+at these settings (bias vs the eps_var=1e-4+PT oracle -75.72859 Ha):
+    r_initiator 1.0 :  3.38 +- 0.49 mHa   at 0.96M walker-steps/s
+    r_initiator 0.5 :  1.46 +- 0.62 mHa   at 1.26M walker-steps/s
+    r_initiator 0.25:  1.19 +- 4.09 mHa   at 0.76M walker-steps/s (~r=0:
+                       every walker above min_wt=0.5 is an initiator)
+r=0.5 dominates r=1 on BOTH axes (initiator suppression kills fewer
+walkers, so more occupied dets update per generation at the same step
+cost).  bias_mHa below is measured in THIS run.
 
-vs_baseline is computed against an ASSUMED reference throughput of
-1.0e6 walker-steps/s for the MPI Fortran code on 8 CPU cores (~8 us per
-walker update per core, consistent with the reference's e2e timings; the
-Fortran binary cannot be built in this container - no gfortran - so the
-exact figure is measured at comparison time per BASELINE.md).
+"walker-steps/s" counts occupied-determinant updates per second (the
+reference's walker loop runs over occupied dets).  vs_baseline is computed
+against an ASSUMED reference throughput of 1.0e6 walker-steps/s for the
+MPI Fortran code on 8 CPU cores (~8 us per walker update per core,
+consistent with the reference's e2e timings; the Fortran binary cannot be
+built in this container - no gfortran - so the exact figure is measured
+at comparison time per BASELINE.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -71,18 +79,23 @@ def main():
           f"n_psit={len(trial.psit_up)} e_trial={trial.e_trial:.6f}",
           file=sys.stderr)
 
-    cfg = WalkConfig(mwalk=40960, cap_spawn=1 << 18, norb=system.norb,
+    cfg = WalkConfig(mwalk=458752, cap_spawn=262144, norb=system.norb,
                      nup=system.nup, ndn=system.ndn, n_words=system.n_words,
                      tau=2e-3, w_abs_target=200_000.0, has_singles=True,
-                     spawn_granularity=1.0, min_wt=0.25, r_initiator=1.0)
-    out = run_walk(system, trial, cfg, nstep=100, nblk=20, nblk_eq=10,
+                     spawn_granularity=2.0, min_wt=0.5, r_initiator=0.5,
+                     f32_state=True)
+    # 25-step dispatches: the axon tunnel kills device dispatches that run
+    # longer than ~2-4 min (PERF_NOTES "dispatch-length limit")
+    out = run_walk(system, trial, cfg, nstep=25, nblk=16, nblk_eq=12,
                    w_abs_begin=140_000.0, e_trial_initial=trial.e_trial,
-                   verbose=True, mode="scan", max_eq_extensions=3)
-    pop = float(np.mean(out.w_abs_trace[-2000:]))
-    walker_steps = pop * out.steps_per_sec
+                   verbose=True, mode="scan", max_eq_extensions=2)
+    ntail = min(1000, 16 * 25)
+    pop = float(np.mean(out.w_abs_trace[-ntail:]))
+    nwalk_mean = float(np.mean(out.nwalk_trace[-ntail:]))
+    walker_steps = nwalk_mean * out.steps_per_sec
     bias_mha = 1e3 * (out.e_mixed - ORACLE_E0)
     print(f"# e_mixed={out.e_mixed:.6f} +- {out.e_err:.6f}  "
-          f"bias={bias_mha:.2f} mHa  pop={pop:.0f}  "
+          f"bias={bias_mha:.2f} mHa  pop={pop:.0f}  nwalk={nwalk_mean:.0f} "
           f"gen/s={out.steps_per_sec:.2f}", file=sys.stderr)
 
     print(json.dumps({
@@ -95,11 +108,13 @@ def main():
         "bias_mHa": bias_mha,
         "oracle_e0": ORACLE_E0,
         "pop": pop,
+        "nwalk": nwalk_mean,
         "gen_per_sec": out.steps_per_sec,
+        "weight_steps_per_sec": pop * out.steps_per_sec,
         "config": {"n_imp": int(len(trial.imp_up)),
-                   "n_psit": int(len(trial.psit_up)), "g": 1.0,
-                   "min_wt": 0.25, "r_initiator": 1.0, "tau": 2e-3,
-                   "pop_target": 200_000.0},
+                   "n_psit": int(len(trial.psit_up)), "g": 2.0,
+                   "min_wt": 0.5, "r_initiator": 0.5, "tau": 2e-3,
+                   "pop_target": 200_000.0, "f32_state": True},
     }))
 
 

@@ -142,6 +142,21 @@ class WalkConfig:
     f32_state: bool = False
     axis_name: str | None = None
     n_dev: int = 1
+    # continuous-time exponential projector exp(-tau(H - E_T)) instead of
+    # the linear 1 - tau(H - E_T) (ref: use_exponential_projector card,
+    # move_uniform_exponential_projector do_walk.f90:3803).  Per child, a
+    # chain of off-diagonal moves at exponentially-sampled times under the
+    # uniform total-rate bound |H_off| = nup*ndn*(norb-nup)*U/norb, with
+    # the deterministic-diagonal variant (parents take the exact
+    # exp(tau(E_T - H_ii)) factor; do_walk.f90:3838 deterministic_diagonal).
+    # Momentum-space Hubbard only (the reference's supported case: its
+    # H_off bound and unit |H_ij|/rate jump factors are hubbardk-specific);
+    # requires semistochastic=False (the reference skips the deterministic
+    # projection in this mode, do_walk.f90:2255).  No time-step error: the
+    # TPU chain is a bounded unrolled scan of ct_max_jumps moves (chains
+    # longer than that are zeroed; P(>12 jumps) < 1e-9 at tau*|H_off| <= 1).
+    use_exponential_projector: bool = False
+    ct_max_jumps: int = 12
     # projector variant (ref run_type dispatch do_walk.f90:38-50; move
     # variants :3460-4748).  'none'/'no_fixed_node' = exact signed
     # projector (plain FCIQMC); the fixed-node family applies per-spawn
@@ -231,6 +246,12 @@ class WalkTables(NamedTuple):
     # entries exactly, so the sampler stays self-consistent.
     hb_rs_dense: jnp.ndarray     # [norb, norb] f32 same-spin (diag 0)
     hb_ro_dense: jnp.ndarray     # [norb, norb] f32 opposite-spin
+    # continuous-time projector tables (cfg.use_exponential_projector,
+    # hubbardk): momentum-conservation target map s = kmap3[(p*norb+q)*
+    # norb+r] and the uniform total off-diagonal rate bound |H_off|
+    # (dummy [1] / [()]=0 when unused)
+    kmap3: jnp.ndarray           # [norb^3] i32 (or [1])
+    ct_rate: jnp.ndarray         # [] f64 |H_off|
     # singles upper-bound table (chem): U[p,r] (0 if symmetry-forbidden),
     # row sums, and per-row alias tables for O(1) target sampling
     u_table: jnp.ndarray         # [norb, norb]
@@ -542,6 +563,39 @@ def build_walk_tables(system, trial, guide=None, cfg=None) -> WalkTables:
         ell_vals = np.zeros(0)
         ell_row = np.zeros(0, np.int32)
 
+    # continuous-time projector tables (use_exponential_projector)
+    kmap3 = np.zeros(1, np.int32)
+    ct_rate = 0.0
+    if cfg is not None and getattr(cfg, "use_exponential_projector", False):
+        if getattr(system, "name", "") != "hubbardk":
+            raise NotImplementedError(
+                "use_exponential_projector: momentum-space Hubbard only "
+                "(the reference's supported case, do_walk.f90:3849)")
+        if cfg.semistochastic:
+            raise ValueError(
+                "use_exponential_projector requires semistochastic=False "
+                "(ref skips the deterministic projection, do_walk.f90:2255)")
+        if cfg.run_type not in ("none", "no_fixed_node") or cfg.has_singles:
+            raise NotImplementedError(
+                "use_exponential_projector supports the plain signed "
+                "projector on the doubles-only hubbardk walk")
+        ex = system.extra
+        rel = np.asarray(ex["k_rel"], np.int64)
+        lx, ly = int(ex["l_x"]), int(ex["l_y"])
+        kmin = rel.min(axis=0)
+        # canonical half-step grid coordinates; umklapp = mod L (all k
+        # components share one parity, so the //2 is exact)
+        idx = np.full((lx, ly), -1, np.int32)
+        idx[((rel[:, 0] - kmin[0]) // 2) % lx,
+            ((rel[:, 1] - kmin[1]) // 2) % ly] = np.arange(norb)
+        ks = rel[:, None, None, :] + rel[None, :, None, :] \
+            - rel[None, None, :, :]
+        kmap3 = idx[((ks[..., 0] - kmin[0]) // 2) % lx,
+                    ((ks[..., 1] - kmin[1]) // 2) % ly].reshape(-1)
+        assert kmap3.min() >= 0
+        ct_rate = cfg.nup * cfg.ndn * (norb - cfg.nup) \
+            * abs(float(ex["U"])) / norb
+
     return WalkTables(
         hb_rssign=jnp.asarray(hb_rssign),
         hb_alias_q=jnp.asarray(hb_alias_q),
@@ -550,6 +604,7 @@ def build_walk_tables(system, trial, guide=None, cfg=None) -> WalkTables:
         hb_rowsum=jnp.asarray(hb_rowsum),
         hb_rs_dense=jnp.asarray(rs_dense),
         hb_ro_dense=jnp.asarray(ro_dense),
+        kmap3=jnp.asarray(kmap3), ct_rate=jnp.asarray(float(ct_rate)),
         u_table=jnp.asarray(U), u_rowsum=jnp.asarray(u_rowsum),
         u_alias_q=jnp.asarray(u_aliasq.astype(np.float32)),
         u_alias_J=jnp.asarray(u_aliasJ),
@@ -788,6 +843,89 @@ def _fill_fresh(cfg, tables, up, dn, diag, ct, need):
     return diag, ct, overflow
 
 
+def _ct_chain(cfg, tables, state, b, slot_valid, key, tau, e_trial):
+    """Continuous-time off-diagonal chains for the exponential projector
+    (ref: move_uniform_exponential_projector do_walk.f90:3803, the
+    deterministic_diagonal variant).
+
+    Per spawn slot (parent walker b[slot]): starting at the parent det,
+    sample jump times from the exponential distribution at the uniform
+    total rate |H_off| (first jump time wrapped mod tau - the conditioning
+    factor 1-exp(-tau|H_off|) is already in the child weight) and chain
+    uniform (e_up, e_dn, r-unoccupied-up) moves, s fixed by momentum
+    conservation, until the measurement time tau.  Each segment of length
+    dt at det i contributes exp(dt*(E_T - H_ii + |H_off|)) (the +|H_off|
+    cancels the sampling density); each jump contributes -H_ij/lambda_slot
+    = -sign(H_ij) (hubbardk: all |H_ij| = U/N = |H_off|/n_slots); a jump
+    onto an occupied target zeroes the chain (the uniform bound
+    overcounts; zero-weight chains keep it unbiased).
+
+    Returns (up [S,W], dn [S,W], f [S] f64 chain factor, ok [S] bool).
+    """
+    S = b.shape[0]
+    norb = cfg.norb
+    nup, ndn = cfg.nup, cfg.ndn
+    rate = tables.ct_rate
+    cu = state.up[b]
+    cd = state.dn[b]
+    f = jnp.where(slot_valid, 1.0, 0.0)
+    t = jnp.zeros(S)
+    done = ~slot_valid
+
+    def in_window(x, a_pos, b_pos):
+        lo_ = jnp.minimum(a_pos, b_pos)
+        hi_ = jnp.maximum(a_pos, b_pos)
+        return ((x >= lo_) & (x < hi_)).astype(jnp.int32)
+
+    for i in range(cfg.ct_max_jumps):
+        k_i = jax.random.fold_in(key, i)
+        u4 = jax.random.uniform(k_i, (4, S))
+        t_inc = -jnp.log(jnp.maximum(u4[0], TINY)) / rate
+        if i == 0:
+            t_inc = jnp.mod(t_inc, tau)   # conditioned on >=1 jump
+        t_new = t + t_inc
+        cross = t_new > tau
+
+        bits_cu = dets.to_bits(cu, norb)
+        bits_cd = dets.to_bits(cd, norb)
+        diag_cur = slater.diag_elements(tables.table, bits_cu, bits_cd)
+        seg = jnp.where(cross, tau - t, t_inc)
+        seg_f = jnp.exp(seg * (e_trial - diag_cur + rate))
+
+        # uniform jump: occupied up electron, occupied dn electron,
+        # unoccupied-up target r; s = k_p + k_q - k_r (umklapp folded)
+        occ_u = dets.occ_orbitals(bits_cu, nup)
+        occ_d = dets.occ_orbitals(bits_cd, ndn)
+        unocc_u = dets.occ_orbitals(1 - bits_cu, norb - nup)
+        sl = jnp.arange(S)
+        p = occ_u[sl, jnp.minimum((u4[1] * nup).astype(jnp.int32), nup - 1)]
+        q = occ_d[sl, jnp.minimum((u4[2] * ndn).astype(jnp.int32), ndn - 1)]
+        r = unocc_u[sl, jnp.minimum((u4[3] * (norb - nup)).astype(jnp.int32),
+                                    norb - nup - 1)]
+        s = tables.kmap3[(p * norb + q) * norb + r]
+        s_occ = dets.get_orb(cd, s)
+        cu_cnt = dets.count_below(cu, p, r) - in_window(p, p, r)
+        cd_cnt = dets.count_below(cd, q, s) - in_window(q, q, s)
+        gamma = jnp.where((cu_cnt + cd_cnt) % 2 == 0, 1.0, -1.0)
+        jump_f = jnp.where(s_occ, 0.0, -gamma)
+
+        act = ~done
+        f = jnp.where(act, f * seg_f * jnp.where(cross, 1.0, jump_f), f)
+        jumped = act & ~cross & ~s_occ
+        cu = jnp.where(jumped[:, None],
+                       dets.set_orb(dets.clear_orb(cu, p), r), cu)
+        cd = jnp.where(jumped[:, None],
+                       dets.set_orb(dets.clear_orb(cd, q), s), cd)
+        t = jnp.where(act, t_new, t)
+        done = done | (act & (cross | s_occ))
+
+    # chains still running after ct_max_jumps are zeroed (negligible:
+    # P(>K jumps) ~ Pois(tau*rate) tail; see WalkConfig.ct_max_jumps)
+    f = jnp.where(done, f, 0.0)
+    ok = slot_valid & (f != 0.0)
+    return cu, cd, f, ok
+
+
 def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     """One MC generation (pure function).  Returns (new_state, stats)."""
     M = cfg.mwalk
@@ -931,14 +1069,26 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     u_all = jax.random.uniform(keys[1], (M + n_cap_draws * CAP,))
     u_spawn = u_all[:M]
     g = cfg.spawn_granularity
-    small = absw < cfg.always_spawn_cutoff * g
-    do_spawn_small = u_spawn < absw / (cfg.always_spawn_cutoff * g)
+    if cfg.use_exponential_projector:
+        # CT mode: children carry the >=1-jump weight fraction
+        # w*(1 - exp(-tau*|H_off|)); the no-jump diagonal path is taken
+        # deterministically by the parent (exp diag factor below)
+        # (ref: stoch_wt, do_walk.f90:3852)
+        sw = wt * -jnp.expm1(-tables.ct_rate * tau)
+        can_spawn = alive
+    else:
+        sw = wt
+        can_spawn = alive & (W2tot + Utot > 0)
+    absw_sp = jnp.abs(sw)
+    small = absw_sp < cfg.always_spawn_cutoff * g
+    do_spawn_small = u_spawn < absw_sp / (cfg.always_spawn_cutoff * g)
     nchild = jnp.where(small, jnp.where(do_spawn_small, 1, 0),
-                       jnp.maximum(jnp.round(absw / g), 1.0)).astype(jnp.int64)
-    nchild = jnp.where(alive & (W2tot + Utot > 0), nchild, 0)
+                       jnp.maximum(jnp.round(absw_sp / g),
+                                   1.0)).astype(jnp.int64)
+    nchild = jnp.where(can_spawn, nchild, 0)
     wt_child = jnp.where(small,
-                         jnp.sign(wt) * cfg.always_spawn_cutoff * g,
-                         wt / jnp.maximum(nchild, 1))
+                         jnp.sign(sw) * cfg.always_spawn_cutoff * g,
+                         sw / jnp.maximum(nchild, 1))
 
     cum_child = prefix.cumsum_i32(nchild.astype(jnp.int32)).astype(jnp.int64)
     total_spawn = cum_child[-1]
@@ -1189,10 +1339,15 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     overflow = overflow | overflow_s
 
     # combine branches
-    spawn_up = jnp.where(take_single[:, None], sng_up, dbl_up)
-    spawn_dn = jnp.where(take_single[:, None], sng_dn, dbl_dn)
-    spawn_ok = jnp.where(take_single, sng_ok, dbl_ok) & slot_valid
-    spawn_wt = jnp.where(take_single, w_sng, w_dbl) * wt_child[b]
+    if cfg.use_exponential_projector:
+        spawn_up, spawn_dn, ct_f, spawn_ok = _ct_chain(
+            cfg, tables, state, b, slot_valid, keys[7], tau, e_trial)
+        spawn_wt = ct_f * wt_child[b]
+    else:
+        spawn_up = jnp.where(take_single[:, None], sng_up, dbl_up)
+        spawn_dn = jnp.where(take_single[:, None], sng_dn, dbl_dn)
+        spawn_ok = jnp.where(take_single, sng_ok, dbl_ok) & slot_valid
+        spawn_wt = jnp.where(take_single, w_sng, w_dbl) * wt_child[b]
     spawn_wt = jnp.where(spawn_ok, spawn_wt, 0.0)
 
     # ---------------- time-reversal symmetrized basis -----------------------
@@ -1300,8 +1455,13 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         lambda a: (a[0], a[1], jnp.asarray(False)),
         (state.diag, state.ct))
     overflow = overflow | fill_ovf
-    diag_factor = 1.0 + tau * (e_trial - diag)
-    diag_factor = jnp.maximum(diag_factor, 0.0)   # clamp (ref :3788)
+    if cfg.use_exponential_projector:
+        # exact diagonal propagation (deterministic_diagonal variant,
+        # ref do_walk.f90:3851); no clamp needed - exp is positive
+        diag_factor = jnp.exp(tau * (e_trial - diag))
+    else:
+        diag_factor = 1.0 + tau * (e_trial - diag)
+        diag_factor = jnp.maximum(diag_factor, 0.0)   # clamp (ref :3788)
     wt_par = jnp.where(alive & (state.imp >= 1),
                        wt * diag_factor, wt).astype(wdt)
     # exact projection on D-space walkers

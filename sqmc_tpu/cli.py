@@ -218,12 +218,17 @@ def run_det_walk(cfg, system, verbose: bool = True):
         always_spawn_cutoff=cfg.always_spawn_cutoff,
         pop_ctrl_exponent=cfg.population_control_exponent,
         reweight_factor_inv_max=cfg.reweight_factor_inv_max,
-        semistochastic=cfg.semistochastic, has_singles=system.has_singles,
+        has_singles=system.has_singles,
         c_t_initiator=cfg.c_t_initiator,
         run_type=run_type, partial_node_eps=cfg.partial_node_eps,
         release_step=cfg.nstep * cfg.nblk_eq // 2 or 1,
         guiding=guiding, time_sym=system.time_sym, z=system.z,
-        proposal=proposal)
+        proposal=proposal,
+        use_exponential_projector=cfg.use_exponential_projector,
+        # the reference skips the deterministic projection in exponential
+        # mode (do_walk.f90:2255)
+        semistochastic=cfg.semistochastic
+        and not cfg.use_exponential_projector)
     out = run_walk(system, trial, wcfg, nstep=cfg.nstep, nblk=cfg.nblk,
                    nblk_eq=cfg.nblk_eq, w_abs_begin=cfg.w_abs_begin,
                    e_trial_initial=cfg.e_trial_initial or trial.e_trial,

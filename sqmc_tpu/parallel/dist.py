@@ -347,7 +347,7 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
                              init_walk_state, walk_step, SENTINEL)
 
     n_dev = cfg.n_dev
-    base = build_walk_tables(system, trial)
+    base = build_walk_tables(system, trial, cfg=cfg)
 
     # shard the deterministic space by owner
     su, sd, rows, cols, vals, m_loc = shard_imp_space(
@@ -412,6 +412,7 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
         hb_rssign=repl, hb_alias_q=repl, hb_alias_J=repl,
         hb_start=repl, hb_count=repl, hb_rowsum=repl,
         hb_rs_dense=repl, hb_ro_dense=repl,
+        kmap3=repl, ct_rate=repl,
         u_table=repl, u_rowsum=repl, u_alias_q=repl, u_alias_J=repl,
         cs_c=repl, cs_rowsum=repl, cs_aliasJ=repl, cs_aliasq=repl,
         table=jax.tree_util.tree_map(lambda _: repl, base.table),

@@ -58,6 +58,8 @@ _SLOW_TESTS = {
     "test_chem_walk_from_cards",
     "test_variational_scale_100k",
     "test_walkalize_and_histogram",
+    "test_ct_walk_unbiased_at_large_tau",
+    "test_initiator_on_accuracy_and_effect",
 }
 
 
