@@ -955,11 +955,12 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     # sorted and D dets are always present in the walker list
     n_imp = tables.imp_up.shape[0]
     if cfg.semistochastic and n_imp > 0:
-        if cfg.axis_name is None and tables.imp_ell_row.shape[0] > 0:
+        if tables.imp_ell_row.shape[0] > 0:
             # D dets are always resident (init seeds them; min_wt rounding
             # exempts imp==0), and both the walker list and the D list are
-            # sorted by the same det order, so the k-th imp==0 slot IS the
-            # k-th D det: ONE compaction replaces the log(M) binary search
+            # sorted by the same det order (per shard in sharded mode: the
+            # owner hash routes identically), so the k-th imp==0 slot IS
+            # the k-th D det: ONE compaction replaces the log(M) search
             is_imp = alive & (state.imp == 0)
             rank = prefix.cumsum_i32(is_imp.astype(jnp.int32)) - 1
             imp_pos = jnp.full(n_imp, -1, jnp.int32).at[
@@ -975,12 +976,14 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         else:
             w_vec = w_imp
         # deltaw = tau * (e_trial * w - H w), H row-complete incl. diagonal
-        if cfg.axis_name is None and tables.imp_ell_row.shape[0] > 0:
+        if tables.imp_ell_row.shape[0] > 0:
             # block-ELL: gather + [nb,128] row-sum + tiny segment-sum (a
             # [nnz]-long f64 scatter-add serializes on TPU: 165 ms/step
             # at 1.5M nnz vs ~10 ms for this form).  Difference form
             # (e_trial - diag_i) w_i - Hoff w: both terms are
-            # O(E_corr * w), so the f32-state path loses nothing
+            # O(E_corr * w), so the f32-state path loses nothing.
+            # Sharded: rows are the local shard's D dets, pad blocks carry
+            # row id n_imp (dropped by segment_sum), cols index w_vec
             prod = tables.imp_ell_vals * w_vec[tables.imp_ell_cols]
             blk = jnp.sum(prod.reshape(-1, 128), axis=1)
             Hw_off = jax.ops.segment_sum(blk, tables.imp_ell_row,
@@ -1428,7 +1431,11 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     child_init = jnp.where(spawn_ok, child_init, 0)
 
     # ---------------- owner routing over the mesh (P2) ---------------------
-    if cfg.axis_name is not None:
+    # n_dev==1: every det is owner-local, so routing is the identity -
+    # skip its sort/scatter/all_to_all entirely (the n_dev=1 sharded
+    # program then matches the unsharded one; measured ~70 ms/step of
+    # pure routing cost at CAP=2^18 on v5e)
+    if cfg.axis_name is not None and cfg.n_dev > 1:
         from ..parallel.dist import det_owner_jnp, route_spawns
 
         owner = det_owner_jnp(spawn_up, spawn_dn, cfg.n_dev)
@@ -1665,14 +1672,46 @@ def _full_sort_merge(state, cfg, tables, key_red, alive, wt_par, diag,
     # scatter-add instead of an f64 segment-sum plus an f64 scatter)
     out_wt_raw = jnp.zeros(M, wdt).at[jnp.where(kg, pg, M)].add(
         wtc, mode="drop")
-    out_rnd = jnp.zeros(M, bool).at[dest].set(rounded, mode="drop",
-                                              unique_indices=True)
+
+    # ONE wide-row scatter for all remaining group payloads (scatter cost
+    # is per-row DMA latency, so a [*, K] u32 row beats K planar
+    # scatters): plane 0 packs (rounded | init<<1 | (imp+2)<<3; imp in
+    # [-2,126], template 127 == "far from D", equivalent to the old 10^6
+    # under pack_flags' clip), plane 1 is ct, planes 2(+3) the diag bits
+    plane0 = (rounded.astype(jnp.uint32) |
+              (g_init.astype(jnp.uint32) << 1) |
+              ((g_imp + 2).astype(jnp.uint32) << 3))
+    diag_bits = jax.lax.bitcast_convert_type(g_diag, jnp.uint32)
+    if wdt == jnp.float64:
+        packed_g = jnp.stack([plane0,
+                              jax.lax.bitcast_convert_type(g_ct, jnp.uint32),
+                              diag_bits[:, 0], diag_bits[:, 1]], axis=1)
+        tmpl_diag = jax.lax.bitcast_convert_type(
+            jnp.float64(DIAG_UNKNOWN), jnp.uint32)
+        tmpl = [jnp.uint32((127 + 2) << 3),
+                jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.uint32),
+                tmpl_diag[0], tmpl_diag[1]]
+    else:
+        packed_g = jnp.stack([plane0,
+                              jax.lax.bitcast_convert_type(g_ct, jnp.uint32),
+                              diag_bits], axis=1)
+        tmpl = [jnp.uint32((127 + 2) << 3),
+                jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.uint32),
+                jax.lax.bitcast_convert_type(jnp.float32(DIAG_UNKNOWN),
+                                             jnp.uint32)]
+    base = jnp.tile(jnp.stack(tmpl)[None, :], (M, 1))
+    out_g = base.at[dest].set(packed_g, mode="drop", unique_indices=True)
+    out_rnd = (out_g[:, 0] & 1) != 0
+    out_init = ((out_g[:, 0] >> 1) & 3).astype(jnp.int32)
+    out_imp = ((out_g[:, 0] >> 3) & 255).astype(jnp.int32) - 2
+    out_ct = jax.lax.bitcast_convert_type(out_g[:, 1], jnp.int32)
+    if wdt == jnp.float64:
+        out_diag = jax.lax.bitcast_convert_type(out_g[:, 2:4], jnp.float64)
+    else:
+        out_diag = jax.lax.bitcast_convert_type(out_g[:, 2], jnp.float32)
+
     out_wt = jnp.where(out_rnd, jnp.sign(out_wt_raw) * cfg.min_wt,
                        out_wt_raw)
-    out_init = jnp.zeros(M, jnp.int32).at[dest].set(g_init, mode="drop",
-                                                    unique_indices=True)
-    out_imp = jnp.full(M, 10 ** 6, jnp.int32).at[dest].set(
-        g_imp, mode="drop", unique_indices=True)
 
     if fused32:
         k = out_keys[0]
@@ -1688,10 +1727,6 @@ def _full_sort_merge(state, cfg, tables, key_red, alive, wt_par, diag,
     # diag/ct caches: group values land directly in the output (no
     # [M]-into-[M] re-attach bisection); FRESH groups (all-spawn, ct==-2)
     # are evaluated through the compacted buffer
-    out_diag = jnp.full(M, DIAG_UNKNOWN, wdt).at[dest].set(
-        g_diag, mode="drop", unique_indices=True)
-    out_ct = jnp.full(M, -1, jnp.int32).at[dest].set(g_ct, mode="drop",
-                                                     unique_indices=True)
     fresh = out_ct == -2
     out_diag, out_ct, fresh_ovf = _fill_fresh(cfg, tables, out_up, out_dn,
                                               out_diag, out_ct, fresh)

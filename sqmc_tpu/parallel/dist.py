@@ -72,6 +72,31 @@ def route_spawns(axis_name: str, n_dev: int, owner: jnp.ndarray, valid,
     cap_loc = CAP // n_dev
     owner = jnp.where(valid, owner, n_dev)  # invalid -> dropped bucket
 
+    # pack every payload (incl. the valid mask) into u32 planes of ONE
+    # [CAP, K] matrix: gather/scatter/all_to_all cost on TPU is per-row
+    # DMA latency, so moving one wide row beats K separate planar moves
+    planes = []
+    meta = []
+    for k, a in arrays.items():
+        cols = a[:, None] if a.ndim == 1 else a
+        if cols.dtype == jnp.uint64:
+            for w in range(cols.shape[1]):
+                planes += [(cols[:, w] >> jnp.uint64(32)).astype(jnp.uint32),
+                           cols[:, w].astype(jnp.uint32)]
+            meta.append((k, "u64", a.ndim, cols.shape[1]))
+        elif cols.dtype == jnp.float64:
+            bits = jax.lax.bitcast_convert_type(cols, jnp.uint32)
+            for w in range(cols.shape[1]):
+                planes += [bits[:, w, 0], bits[:, w, 1]]
+            meta.append((k, "f64", a.ndim, cols.shape[1]))
+        else:  # 32-bit (f32/i32/u32)
+            for w in range(cols.shape[1]):
+                planes.append(
+                    jax.lax.bitcast_convert_type(cols[:, w], jnp.uint32))
+            meta.append((k, str(a.dtype), a.ndim, cols.shape[1]))
+    planes.append(valid.astype(jnp.uint32))
+    packed = jnp.stack(planes, axis=1)                      # [CAP, K]
+
     order = jnp.argsort(owner, stable=True)
     owner_s = owner[order]
     # rank within destination bucket
@@ -83,24 +108,33 @@ def route_spawns(axis_name: str, n_dev: int, owner: jnp.ndarray, valid,
     dest = jnp.where((owner_s < n_dev) & (rank < cap_loc),
                      owner_s * cap_loc + rank, CAP)
 
-    out = {}
-    for k, a in arrays.items():
-        a_s = a[order]
-        if a.ndim == 2:
-            buf = jnp.zeros((CAP,) + a.shape[1:], a.dtype)
-        else:
-            buf = jnp.zeros((CAP,), a.dtype)
-        buf = buf.at[dest].set(a_s, mode="drop")
-        # [n_dev, cap_loc, ...] -> exchange -> flatten
-        buf = buf.reshape((n_dev, cap_loc) + a.shape[1:])
-        buf = jax.lax.all_to_all(buf, axis_name, split_axis=0, concat_axis=0,
-                                 tiled=False)
-        out[k] = buf.reshape((CAP,) + a.shape[1:])
+    buf = jnp.zeros((CAP, packed.shape[1]), jnp.uint32)
+    buf = buf.at[dest].set(packed[order], mode="drop")
+    buf = jax.lax.all_to_all(buf.reshape(n_dev, cap_loc, -1), axis_name,
+                             split_axis=0, concat_axis=0, tiled=False)
+    buf = buf.reshape(CAP, -1)
 
-    vmask = jnp.zeros(CAP, bool).at[dest].set(valid[order], mode="drop")
-    vmask = vmask.reshape(n_dev, cap_loc)
-    vmask = jax.lax.all_to_all(vmask, axis_name, split_axis=0, concat_axis=0,
-                               tiled=False).reshape(CAP)
+    out = {}
+    j = 0
+    for k, kind, ndim, ncol in meta:
+        cols = []
+        for _ in range(ncol):
+            if kind == "u64":
+                hi, lo = buf[:, j], buf[:, j + 1]
+                cols.append((hi.astype(jnp.uint64) << jnp.uint64(32)) |
+                            lo.astype(jnp.uint64))
+                j += 2
+            elif kind == "f64":
+                cols.append(jax.lax.bitcast_convert_type(
+                    jnp.stack([buf[:, j], buf[:, j + 1]], axis=-1),
+                    jnp.float64))
+                j += 2
+            else:
+                cols.append(jax.lax.bitcast_convert_type(
+                    buf[:, j], jnp.dtype(kind)))
+                j += 1
+        out[k] = cols[0] if ndim == 1 else jnp.stack(cols, axis=1)
+    vmask = buf[:, j] != 0
     return out, vmask, overflow
 
 
@@ -331,6 +365,39 @@ def make_sharded_matvec(H, mesh: Mesh):
 # Sharded walk assembly
 # ---------------------------------------------------------------------------
 
+def _blockell_local(m, rows, cols, vals, gdiag_base):
+    """One shard's block-ELL: row-complete local-rows/global-cols COO ->
+    off-diagonal entries padded to 128-slot row blocks + dense diagonal.
+    Diagonal entries are cols == gdiag_base + rows (global id of local
+    slot r is gdiag_base + r).  Zero-valued COO padding is dropped.
+
+    Returns (ell_cols [P] i32, ell_vals [P], ell_row [P//128] i32,
+    diag [m])."""
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    vals = np.asarray(vals, np.float64)
+    keep = vals != 0.0
+    rows, cols, vals = rows[keep], cols[keep], vals[keep]
+    isdiag = cols == gdiag_base + rows
+    diag = np.zeros(m)
+    np.add.at(diag, rows[isdiag], vals[isdiag])
+    r, c, v = rows[~isdiag], cols[~isdiag], vals[~isdiag]
+    order = np.argsort(r, kind="stable")
+    r, c, v = r[order], c[order], v[order]
+    counts = np.bincount(r, minlength=m)
+    nb_r = np.maximum(1, -(-counts // 128))
+    block_starts = np.concatenate([[0], np.cumsum(nb_r)])[:-1] * 128
+    csr_start = np.concatenate([[0], np.cumsum(counts)])
+    P = int(np.sum(nb_r)) * 128
+    ell_cols = np.zeros(P, np.int32)
+    ell_vals = np.zeros(P)
+    slot = block_starts[r] + (np.arange(len(r)) - csr_start[r])
+    ell_cols[slot] = c
+    ell_vals[slot] = v
+    ell_row = np.repeat(np.arange(m, dtype=np.int32), nb_r)
+    return ell_cols, ell_vals, ell_row, diag
+
+
 def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
                       e_trial_initial: float, seed: int = 0,
                       nstep_per_call: int = 1):
@@ -353,17 +420,36 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
     su, sd, rows, cols, vals, m_loc = shard_imp_space(
         trial.imp_up, trial.imp_dn, trial.imp_ham, n_dev)
 
+    # per-shard block-ELL of the row-complete COO (local rows, GLOBAL
+    # cols into the all-gathered D-weight vector), diagonal split out for
+    # the difference form - the same TPU-fast projection layout as the
+    # single-device path (a [nnz] f64 scatter-add serializes on TPU)
+    ell_parts = [_blockell_local(m_loc, rows[d], cols[d], vals[d],
+                                 d * m_loc) for d in range(n_dev)]
+    P_max = max(p[0].shape[0] for p in ell_parts)
+    e_cols = np.zeros((n_dev, P_max), np.int32)
+    e_vals = np.zeros((n_dev, P_max))
+    # pad blocks carry row id m_loc -> dropped by the per-shard
+    # segment_sum(num_segments=m_loc)
+    e_row = np.full((n_dev, P_max // 128), m_loc, np.int32)
+    e_diag = np.zeros((n_dev, m_loc))
+    for d, (ec, ev, er, dg) in enumerate(ell_parts):
+        e_cols[d, :ec.shape[0]] = ec
+        e_vals[d, :ev.shape[0]] = ev
+        e_row[d, :er.shape[0]] = er
+        e_diag[d] = dg
+
+    fdt = np.float32 if cfg.f32_state else np.float64
     tables = base._replace(
         imp_up=jnp.asarray(su.reshape(n_dev * m_loc, -1)),
         imp_dn=jnp.asarray(sd.reshape(n_dev * m_loc, -1)),
         imp_rows=jnp.asarray(rows.reshape(-1)),
         imp_cols=jnp.asarray(cols.reshape(-1)),
         imp_vals=jnp.asarray(vals.reshape(-1)),
-        # sharded path keeps the COO segment-sum (per-shard re-pack)
-        imp_ell_cols=jnp.zeros(0, jnp.int32),
-        imp_ell_vals=jnp.zeros(0),
-        imp_ell_row=jnp.zeros(0, jnp.int32),
-        imp_diag=jnp.zeros(0),
+        imp_ell_cols=jnp.asarray(e_cols.reshape(-1)),
+        imp_ell_vals=jnp.asarray(e_vals.reshape(-1).astype(fdt)),
+        imp_ell_row=jnp.asarray(e_row.reshape(-1)),
+        imp_diag=jnp.asarray(e_diag.reshape(-1)),
     )
 
     # initial population distributed by owner
@@ -386,10 +472,12 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
     state = st0._replace(
         up=jnp.asarray(s_up.reshape(n_dev * M, W)),
         dn=jnp.asarray(s_dn.reshape(n_dev * M, W)),
-        wt=jnp.asarray(s_wt.reshape(-1)),
+        wt=jnp.asarray(s_wt.reshape(-1).astype(
+            np.float32 if cfg.f32_state else np.float64)),
         init=jnp.asarray(s_init.reshape(-1)),
         imp=jnp.asarray(s_imp.reshape(-1)),
-        diag=jnp.full(n_dev * M, walk_mod.DIAG_UNKNOWN),
+        diag=jnp.full(n_dev * M, walk_mod.DIAG_UNKNOWN,
+                      jnp.float32 if cfg.f32_state else jnp.float64),
         # ct=-2: diag/ct caches are filled per shard by the step's
         # cond-guarded fresh fill on the first generation
         ct=jnp.full(n_dev * M, -2, jnp.int32),
@@ -419,8 +507,8 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
         ct_up=repl, ct_dn=repl, ct_num=repl, ct_den=repl,
         imp_up=sharded, imp_dn=sharded, imp_rows=sharded, imp_cols=sharded,
         imp_vals=sharded,
-        imp_ell_cols=repl, imp_ell_vals=repl, imp_ell_row=repl,
-        imp_diag=repl,
+        imp_ell_cols=sharded, imp_ell_vals=sharded, imp_ell_row=sharded,
+        imp_diag=sharded,
         guide=jax.tree_util.tree_map(lambda _: repl, base.guide))
     stats_specs = dict(e_num_gen=repl, e_den_gen=repl, w_abs_gen=repl,
                        nwalk=repl, e_gen=repl, n_spawn=repl,

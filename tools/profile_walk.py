@@ -40,7 +40,24 @@ def build(args):
                      cap_spawn=1 << args.cap_bits, norb=system.norb,
                      nup=system.nup, ndn=system.ndn, n_words=system.n_words,
                      tau=2e-3, w_abs_target=args.pop, has_singles=True,
-                     spawn_granularity=args.g, min_wt=args.min_wt)
+                     spawn_granularity=args.g, min_wt=args.min_wt,
+                     f32_state=args.f32,
+                     axis_name="d" if args.sharded else None,
+                     n_dev=1 if args.sharded else 1)
+    if args.sharded:
+        from sqmc_tpu.parallel.dist import make_mesh, make_sharded_walk
+        mesh = make_mesh(1)
+        step, state, tables = make_sharded_walk(
+            system, trial, cfg, mesh, 0.5 * args.pop, trial.e_trial,
+            nstep_per_call=args.steps_per_call)
+
+        def block(state, tables, cfg, nstep):
+            stats = None
+            for _ in range(nstep // args.steps_per_call):
+                state, stats = step(state, tables)
+            return state, stats
+
+        return cfg, tables, state, block
     tables = build_walk_tables(system, trial, cfg=cfg)
     state = init_walk_state(cfg, trial, 0.5 * args.pop, trial.e_trial)
     return cfg, tables, state, walk_block
@@ -58,6 +75,11 @@ def main():
     ap.add_argument("--cap-bits", type=int, default=17)
     ap.add_argument("--nstep", type=int, default=100)
     ap.add_argument("--outdir", default="/tmp/walk_trace")
+    ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--sharded", action="store_true",
+                    help="profile the shard_map program on a 1-device mesh")
+    ap.add_argument("--steps-per-call", type=int, default=1,
+                    help="sharded mode: steps fused per dispatch")
     args = ap.parse_args()
 
     import jax
@@ -71,8 +93,9 @@ def main():
     for _ in range(3):
         state, _ = walk_block(state, tables, cfg, nstep)
     jax.block_until_ready(state.wt)
-    print(f"# warmed up: w_abs={float(state.w_abs_gen):.0f} "
-          f"nwalk={int(state.nwalk)}", flush=True)
+    import numpy as np
+    print(f"# warmed up: w_abs={float(np.sum(state.w_abs_gen)):.0f} "
+          f"nwalk={int(np.sum(state.nwalk))}", flush=True)
 
     t0 = time.time()
     state, _ = walk_block(state, tables, cfg, nstep)
@@ -94,6 +117,7 @@ def main():
         trace = json.load(f)
     by_cat = defaultdict(float)
     by_op = defaultdict(float)
+    by_src = defaultdict(float)
     total = 0.0
     for ev in trace.get("traceEvents", []):
         if ev.get("ph") != "X":
@@ -105,14 +129,23 @@ def main():
             continue
         dur = ev.get("dur", 0)  # microseconds
         name = ev.get("name", "?")
+        # "while" events CONTAIN their body ops (double-counted below);
+        # skip them in the per-line table so it sums to the real step
+        if cat != "while":
+            src = args.get("source", "?")
+            src = src.replace("/root/repo/", "")
+            by_src[f"{src:36s} {cat}"] += dur
         by_cat[cat] += dur
         by_op[f"{cat:24s} {name.split('.')[0][:60]}"] += dur
         total += dur
     print(f"\n# total device time {total / 1000 / nstep:.1f} ms/step over "
-          f"{nstep} steps")
+          f"{nstep} steps (while containers double-count their bodies)")
     print("\n# by category (ms/step):")
     for k, v in sorted(by_cat.items(), key=lambda x: -x[1]):
         print(f"  {v / 1000 / nstep:8.2f}  {k}")
+    print("\n# top 40 source lines (ms/step, while containers excluded):")
+    for k, v in sorted(by_src.items(), key=lambda x: -x[1])[:40]:
+        print(f"  {v / 1000 / nstep:8.3f}  {k}")
     print("\n# top 30 ops (ms/step):")
     for k, v in sorted(by_op.items(), key=lambda x: -x[1])[:30]:
         print(f"  {v / 1000 / nstep:8.3f}  {k}")

@@ -1,0 +1,20 @@
+#!/bin/bash
+# Round-3 phase-6 serial TPU queue: device profiles of the sharded vs
+# unsharded walk program at bench shapes (the n_dev=1 shard_map overhead
+# decomposition), at the qualified trial.
+cd "$(dirname "$0")/.."
+LOG=/tmp/r3f_queue.log
+run() {
+  echo "=== $(date -u +%H:%M:%S) $*" >> $LOG
+  timeout 5400 python "$@" >> $LOG 2>&1
+  echo "=== rc=$?" >> $LOG
+}
+
+run tools/profile_walk.py --pop 200000 --g 2 --min-wt 0.5 --eps-var 1e-3 \
+    --n-psit 2000 --n-imp 20000 --mwalk-bits 19 --cap-bits 18 --f32 \
+    --sharded --steps-per-call 25 --nstep 25 --outdir /tmp/trace_sharded
+run tools/profile_walk.py --pop 200000 --g 2 --min-wt 0.5 --eps-var 1e-3 \
+    --n-psit 2000 --n-imp 20000 --mwalk-bits 19 --cap-bits 18 --f32 \
+    --sharded --steps-per-call 1 --nstep 25 --outdir /tmp/trace_sharded1
+
+echo "QUEUE DONE $(date -u)" >> $LOG
