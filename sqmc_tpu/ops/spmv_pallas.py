@@ -142,3 +142,71 @@ class EllSpmv:
             outs.append(y[:self.n].astype(x.dtype))
         out = jnp.stack(outs, axis=1)
         return out[:, 0] if single else out
+
+
+def blockell_from_coo(n, rows, cols, vals, diag=None):
+    """Symmetric upper-COO (+diag) -> 128-slot row-block layout: every
+    row's entries padded to a multiple of 128, blocks tagged with their
+    row id.  Padding is bounded by 127 entries/row (vs rows x (K_max -
+    K_row) for classic ELL: the C2 88k-det H has K_max=1347 but mean row
+    length ~110, a 12x padding blow-up).  This is the walk's D-space
+    projection layout (walk.py build_walk_tables), reused for Davidson.
+
+    Returns (ell_cols [P] i32, ell_vals [P] f32, ell_row [P/128] i32).
+    """
+    r_all = np.concatenate([rows, cols])
+    c_all = np.concatenate([cols, rows])
+    v_all = np.concatenate([vals, vals])
+    if diag is not None:
+        r_all = np.concatenate([r_all, np.arange(n)])
+        c_all = np.concatenate([c_all, np.arange(n)])
+        v_all = np.concatenate([v_all, diag])
+    order = np.argsort(r_all, kind="stable")
+    r_all, c_all, v_all = r_all[order], c_all[order], v_all[order]
+    counts = np.bincount(r_all, minlength=n)
+    nb_r = np.maximum(1, -(-counts // 128))
+    block_starts = np.concatenate([[0], np.cumsum(nb_r)])[:-1] * 128
+    csr_start = np.concatenate([[0], np.cumsum(counts)])
+    P = int(np.sum(nb_r)) * 128
+    ell_cols = np.zeros(P, np.int32)
+    ell_vals = np.zeros(P, np.float32)
+    slot = block_starts[r_all] + (np.arange(len(r_all)) - csr_start[r_all])
+    ell_cols[slot] = c_all
+    ell_vals[slot] = v_all
+    ell_row = np.repeat(np.arange(n, dtype=np.int32), nb_r)
+    return ell_cols, ell_vals, ell_row
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _spmv_blockell(x, ell_cols, ell_vals, ell_row, n):
+    prod = ell_vals * x[ell_cols]
+    blk = jnp.sum(prod.reshape(-1, 128), axis=1)
+    return jax.ops.segment_sum(blk, ell_row, num_segments=n,
+                               indices_are_sorted=True)
+
+
+class BlockEllSpmv:
+    """y = H x in the 128-slot row-block layout: one flat gather + a
+    [P/128, 128] row-sum + a sorted segment-sum.  The TPU-fast sparse
+    matvec (walk.py's D-projection trick): measured 43 ms vs 1050 ms
+    (classic ELL) vs 8100 ms (COO scatter-add) per matvec on the C2
+    88k-det / 9.7M-nnz variational H on one v5e chip.  f32; pair with the
+    host-f64 Rayleigh refinement (tools/bench_variational_tpu.py)."""
+
+    def __init__(self, H):
+        self.n = H.n
+        cols, vals, row = blockell_from_coo(H.n, H.rows, H.cols, H.vals,
+                                            H.diag)
+        self.cols = jnp.asarray(cols)
+        self.vals = jnp.asarray(vals)
+        self.row = jnp.asarray(row)
+
+    def __call__(self, x):
+        x = jnp.asarray(x)
+        single = x.ndim == 1
+        xs = x[:, None] if single else x
+        outs = [_spmv_blockell(xs[:, j].astype(jnp.float32), self.cols,
+                               self.vals, self.row, self.n).astype(x.dtype)
+                for j in range(xs.shape[1])]
+        out = jnp.stack(outs, axis=1)
+        return out[:, 0] if single else out

@@ -45,3 +45,15 @@ def test_xla_fallback_matches(H):
     x = rng.standard_normal(H.n)
     np.testing.assert_allclose(np.asarray(mv(x)), np.asarray(matvec(H, x)),
                                rtol=3e-5, atol=3e-5)
+
+
+def test_blockell_matches(H):
+    from sqmc_tpu.ops.spmv_pallas import BlockEllSpmv
+    mv = BlockEllSpmv(H)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((H.n, 2))
+    y_ref = np.asarray(matvec(H, x))
+    y = np.asarray(mv(x))
+    np.testing.assert_allclose(y, y_ref, rtol=3e-5, atol=3e-5)
+    y1 = np.asarray(mv(x[:, 0]))
+    np.testing.assert_allclose(y1, y[:, 0], rtol=0, atol=0)

@@ -137,6 +137,32 @@ def main():
           f"{out['ell_solve_s']:.1f}s, refined e={e_ell:.9f} "
           f"(delta {out['ell_delta_uHa']:.2f} uHa)", file=sys.stderr)
 
+    # ---- TPU block-ELL f32 (the walk's D-projection layout) ---------------
+    from sqmc_tpu.ops.spmv_pallas import BlockEllSpmv
+
+    t0 = time.time()
+    spmv_b = BlockEllSpmv(H)
+    out["bell_build_s"] = time.time() - t0
+    out["bell_bytes"] = int(spmv_b.cols.size * 8)
+
+    w = spmv_b(v1); w.block_until_ready()
+    t0 = time.time()
+    for _ in range(10):
+        w = spmv_b(v1)
+    float(jnp.sum(w))
+    out["bell_matvec_ms"] = (time.time() - t0) / 10 * 1e3
+
+    t0 = time.time()
+    ev, X = davidson(H, n_states=args.states, initial=x0, tol=3e-6,
+                     max_iter=60, matvec_fn=spmv_b)
+    e_bell = rayleigh_f64(H, np.asarray(X[:, 0]))
+    out["bell_solve_s"] = time.time() - t0
+    out["e_var_tpu_bell_refined"] = e_bell
+    out["bell_delta_uHa"] = 1e6 * (e_bell - e_ref)
+    print(f"# blockELL: matvec {out['bell_matvec_ms']:.1f} ms, solve "
+          f"{out['bell_solve_s']:.1f}s, refined e={e_bell:.9f} "
+          f"(delta {out['bell_delta_uHa']:.2f} uHa)", file=sys.stderr)
+
     print(json.dumps(out))
 
 
