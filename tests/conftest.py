@@ -34,6 +34,11 @@ def pytest_configure(config):
 _SLOW_TESTS = {
     "test_heg_i_st_e2e",
     "test_heg_i_det_e2e",
+    "test_f32_state_walk_accuracy",
+    "test_walk_identical",
+    "test_rdm_identical",
+    "test_distributed_pt_matches_serial",
+    "test_sharded_walk_deterministic_same_seed",
     "test_hubbard2_fixed_node_from_cards",
     "test_sharded_walk_unbiased",
     "test_capacity_escalation",
@@ -55,6 +60,7 @@ _SLOW_TESTS = {
     "test_semistochastic_pt_golden",
     "test_ts_walk_stochastic_unbiased",
     "test_curve_goldens_reproduce",
+    "test_time_sym_extrapolation_consistent",
     "test_chem_walk_from_cards",
     "test_variational_scale_100k",
     "test_walkalize_and_histogram",

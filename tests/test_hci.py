@@ -31,6 +31,17 @@ def test_heg_hci_golden(heg):
     assert abs(res.energies[0] - 58.276906085) < 1e-7
 
 
+def test_heg_hci_device_davidson_matches_golden(heg):
+    """run_hci(device_davidson=True) — f32 block-ELL SpMV on the
+    accelerator + host-f64 Rayleigh refinement — must reproduce the
+    f64 COO golden to ~1e-7 Ha (the refinement makes the eigenvalue
+    error O(||r||^2) of the f32 residual)."""
+    res = run_hci(heg, eps_var=1e-3, eps_var_sched=[1e-3] * 10,
+                  verbose=False, device_davidson=True)
+    assert len(res.up) == 9475
+    assert abs(res.energies[0] - 58.276906085) < 1e-6
+
+
 def test_sparse_ham_vs_brute(heg):
     res = run_hci(heg, eps_var=1e-2, eps_var_sched=[1e-2] * 10, verbose=False)
     n = len(res.up)

@@ -41,7 +41,7 @@ def build(args):
                      nup=system.nup, ndn=system.ndn, n_words=system.n_words,
                      tau=2e-3, w_abs_target=args.pop, has_singles=True,
                      spawn_granularity=args.g, min_wt=args.min_wt,
-                     f32_state=args.f32,
+                     f32_state=args.f32, r_initiator=args.r_init,
                      axis_name="d" if args.sharded else None,
                      n_dev=1 if args.sharded else 1)
     if args.sharded:
@@ -76,6 +76,7 @@ def main():
     ap.add_argument("--nstep", type=int, default=100)
     ap.add_argument("--outdir", default="/tmp/walk_trace")
     ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--r-init", type=float, default=1.0)
     ap.add_argument("--sharded", action="store_true",
                     help="profile the shard_map program on a 1-device mesh")
     ap.add_argument("--steps-per-call", type=int, default=1,
