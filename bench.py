@@ -35,8 +35,77 @@ import time
 ASSUMED_FORTRAN_8CORE_WALKER_STEPS_PER_SEC = 1.0e6
 ORACLE_E0 = -75.72859   # HCI eps_var=1e-4 E_var + eps_pt=1e-7 PT
 
+_LEDGER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       ".cache", "bench_ledger.jsonl")
+
+
+def _tpu_reachable(probe_timeout_s=150):
+    """Probe the axon TPU tunnel in a subprocess with a hard timeout.
+
+    Backend init returns in seconds when the tunnel is up and blocks in a
+    ~25-minute internal retry loop when it is down, so a bounded subprocess
+    probe cleanly separates the two without hanging this process."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.devices()[0].platform != 'cpu'"],
+            timeout=probe_timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _wait_for_tpu(max_wait_s):
+    t0 = time.time()
+    while True:
+        if _tpu_reachable():
+            return True
+        if time.time() - t0 > max_wait_s:
+            return False
+        print(f"# TPU tunnel down, retrying ({time.time() - t0:.0f}s)",
+              file=sys.stderr)
+        time.sleep(60)
+
+
+def _stale_fallback():
+    """The TPU tunnel is down at bench time: report the most recent on-chip
+    measurement from the ledger, explicitly marked stale (or an explicit
+    failure record if no prior measurement exists)."""
+    last = None
+    try:
+        with open(_LEDGER) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    last = json.loads(line)
+    except OSError:
+        pass
+    if last is None:
+        print(json.dumps({
+            "metric": "c2_fciqmc_walker_steps_per_sec_per_chip",
+            "value": 0.0, "unit": "walker-steps/s", "vs_baseline": 0.0,
+            "error": "TPU tunnel unavailable and no prior on-chip "
+                     "measurement ledger"}))
+    else:
+        last["stale"] = True
+        last["note"] = ("TPU tunnel unavailable at bench time; value is the "
+                        "most recent completed on-chip bench run "
+                        f"(measured_at={last.get('measured_at', '?')})")
+        print(json.dumps(last))
+
 
 def main():
+    # Bounded tunnel probe BEFORE importing jax in this process (a dead
+    # tunnel otherwise blocks backend init for ~25 min).  Wait up to
+    # SQMC_BENCH_TPU_WAIT_S (default 30 min) for the tunnel, then fall back
+    # to the latest ledgered on-chip run, marked stale.
+    if os.environ.get("SQMC_BENCH_ALLOW_CPU") != "1":
+        max_wait = float(os.environ.get("SQMC_BENCH_TPU_WAIT_S", "1800"))
+        if not _wait_for_tpu(max_wait):
+            _stale_fallback()
+            return
+
     import numpy as np
     import jax
 
@@ -98,7 +167,7 @@ def main():
           f"bias={bias_mha:.2f} mHa  pop={pop:.0f}  nwalk={nwalk_mean:.0f} "
           f"gen/s={out.steps_per_sec:.2f}", file=sys.stderr)
 
-    print(json.dumps({
+    record = {
         "metric": "c2_fciqmc_walker_steps_per_sec_per_chip",
         "value": walker_steps,
         "unit": "walker-steps/s",
@@ -115,7 +184,17 @@ def main():
                    "n_psit": int(len(trial.psit_up)), "g": 2.0,
                    "min_wt": 0.5, "r_initiator": 0.5, "tau": 2e-3,
                    "pop_target": 200_000.0, "f32_state": True},
-    }))
+    }
+    try:
+        import datetime
+        record["measured_at"] = datetime.datetime.now(
+            datetime.timezone.utc).isoformat(timespec="seconds")
+        with open(_LEDGER, "a") as f:
+            f.write(json.dumps(record) + "\n")
+            record.pop("measured_at")
+    except OSError:
+        pass
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
