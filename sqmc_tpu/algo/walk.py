@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import dets
-from ..ops import prefix, setalg
+from ..ops import prefix, segscan, setalg
 from ..systems.heatbath import tri_le, tri_lt
 from ..systems.chem import slater
 
@@ -119,6 +119,14 @@ class WalkConfig:
     # (compute singles on every slot).  Overflow joins the capacity
     # escalation path.
     cap_single: int = 0
+
+    # f32-state runs materialize the D-space off-diagonal projection as a
+    # DENSE [n_imp, n_imp] f32 matrix when n_imp is at most this (1 GB at
+    # 16384): the matvec streams the matrix at HBM bandwidth on the MXU
+    # instead of the block-ELL arbitrary-index gather (~0.7 vs ~14
+    # ms/step at 12k dets / 1.5M nnz).  0 disables.  f64-state runs keep
+    # block-ELL (the MXU has no f64 path).
+    dense_proj_max: int = 16384
 
     @property
     def cap_compact_eff(self):
@@ -287,6 +295,10 @@ class WalkTables(NamedTuple):
     imp_ell_vals: jnp.ndarray    # [P] f64/f32 (pad -> 0), off-diag only
     imp_ell_row: jnp.ndarray     # [P//128] i32 row id per block
     imp_diag: jnp.ndarray        # [n_imp] f64 H diagonal (ELL path)
+    # dense [n_imp, n_imp] f32 off-diagonal projection matrix (f32-state
+    # runs with n_imp <= cfg.dense_proj_max; [0, 0] otherwise): the MXU
+    # matvec replaces the block-ELL gather at HBM-streaming speed
+    imp_dense: jnp.ndarray
     # guiding wavefunction (importance sampling / fixed-node; empty
     # placeholder when cfg.guiding == 'none')
     guide: object
@@ -557,11 +569,17 @@ def build_walk_tables(system, trial, guide=None, cfg=None) -> WalkTables:
         ell_cols[slot] = c_off
         ell_vals[slot] = v_off
         ell_row = np.repeat(np.arange(n_imp, dtype=np.int32), nb_r)
+        imp_dense = np.zeros((0, 0), np.float32)
+        if (cfg is not None and cfg.f32_state
+                and 0 < n_imp <= cfg.dense_proj_max):
+            imp_dense = np.zeros((n_imp, n_imp), np.float32)
+            np.add.at(imp_dense, (r_off, c_off), v_off)
     else:
         imp_diag = np.zeros(0)
         ell_cols = np.zeros(0, np.int32)
         ell_vals = np.zeros(0)
         ell_row = np.zeros(0, np.int32)
+        imp_dense = np.zeros((0, 0), np.float32)
 
     # continuous-time projector tables (use_exponential_projector)
     kmap3 = np.zeros(1, np.int32)
@@ -621,6 +639,7 @@ def build_walk_tables(system, trial, guide=None, cfg=None) -> WalkTables:
         imp_ell_vals=jnp.asarray(ell_vals.astype(fdt)),
         imp_ell_row=jnp.asarray(ell_row),
         imp_diag=jnp.asarray(imp_diag),
+        imp_dense=jnp.asarray(imp_dense),
         guide=guide,
     )
 
@@ -976,7 +995,14 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         else:
             w_vec = w_imp
         # deltaw = tau * (e_trial * w - H w), H row-complete incl. diagonal
-        if tables.imp_ell_row.shape[0] > 0:
+        if tables.imp_dense.shape[0] > 0:
+            # dense MXU matvec (f32-state, n_imp <= dense_proj_max): the
+            # [n,n] f32 matrix streams at HBM bandwidth - no gather at all
+            Hw_off = tables.imp_dense @ w_vec.astype(jnp.float32)
+            deltaw = tau * ((e_trial - tables.imp_diag) *
+                            w_imp.astype(jnp.float64) -
+                            Hw_off.astype(jnp.float64))
+        elif tables.imp_ell_row.shape[0] > 0:
             # block-ELL: gather + [nb,128] row-sum + tiny segment-sum (a
             # [nnz]-long f64 scatter-add serializes on TPU: 165 ms/step
             # at 1.5M nnz vs ~10 ms for this form).  Difference form
@@ -1516,12 +1542,14 @@ def _full_sort_merge(state, cfg, tables, key_red, alive, wt_par, diag,
         through the compacted _fill_fresh evaluation afterwards);
       * valid spawns are optionally compacted into cap_compact slots first
         (the dead 25-45% of cap_spawn never enters the sort);
-      * the group reductions collapse to a few segment ops: a weight sum,
-        an initiator max, diag min / ct max, and one priority min whose
-        encoding (D=0 < C(T)=1 < transient-D-spawn=2 < distance d=d+1 <
-        invalid) yields membership, the merged imp code, and group
-        validity at once (ref merge rules do_walk.f90:5898-5960,
-        check_initiator:6838).
+      * ALL group reductions (weight sum, initiator max, diag min, ct
+        max, and a priority min whose encoding D=0 < C(T)=1 <
+        transient-D-spawn=2 < distance d=d+1 < invalid yields membership,
+        the merged imp code, and group validity at once) ride ONE fused
+        segmented scan (ops/segscan.py) and are read at each group's END
+        row, from which the output scatters go directly - no segment_*
+        scatters, no group->row gathers (ref merge rules
+        do_walk.f90:5898-5960, check_initiator:6838).
     """
     M = cfg.mwalk
     CAP = cfg.cap_spawn
@@ -1592,7 +1620,7 @@ def _full_sort_merge(state, cfg, tables, key_red, alive, wt_par, diag,
     for k in s_keys[1:]:
         neq_t = neq_t | (k[1:] != k[:-1])
     neq = jnp.ones(N, bool).at[1:].set(neq_t)
-    gid = prefix.cumsum_i32(neq.astype(jnp.int32)) - 1
+    is_end = segscan.seg_ends(neq)
 
     code = s_flags >> 2
     init_row = s_flags & 3
@@ -1601,31 +1629,30 @@ def _full_sort_merge(state, cfg, tables, key_red, alive, wt_par, diag,
     u = jnp.where(code == 2, 0,
                   jnp.where(code == 0, 1,
                             jnp.where(code == 1, 2, code - 1)))
-    g_u = jax.ops.segment_min(u, gid, num_segments=N,
-                              indices_are_sorted=True)
-    in_D = g_u[gid] == 0
-    # discard stochastic D->D spawns (ref merge rule :5947)
-    drop = (code == 1) & in_D
-    wtc = jnp.where(drop, 0.0, s_wt)
-    # group weights for the keep/initiator/rounding DECISIONS are f32
-    # (f64 scatter-adds are ~8x slower on TPU); the OUTPUT weight is the
-    # exact f64 row sum, scatter-added directly into the output slots
-    # below.  The only effect: near-cancellation groups (|sum| ~ 1e-16)
-    # may flip a keep/round decision - a <=1e-16 weight perturbation.
-    g_wt = jax.ops.segment_sum(wtc.astype(jnp.float32), gid,
-                               num_segments=N,
-                               indices_are_sorted=True).astype(wdt)
-    g_init = jax.ops.segment_max(init_row, gid, num_segments=N,
-                                 indices_are_sorted=True)
+    # ALL group reductions ride one fused segmented scan (segment_* ops
+    # lower to serialized HBM scatters, ~7 ms each at these shapes —
+    # PERF_NOTES); each group's values are read at its END row, so the
+    # group->row gathers and the group-space scatter destinations of the
+    # old formulation disappear.  The decision weight and the output
+    # weight are now the SAME wdt-exact segment sum (the old split f32
+    # decision / f64 scatter-add is gone; only the summation ORDER of a
+    # group differs from sequential: a tree reduction).
+    sc_u, sc_init, sc_wt, sc_dwt, sc_diag, sc_ct = segscan.seg_scan(
+        (u, init_row, s_wt,
+         jnp.where(code == 1, s_wt, jnp.zeros((), wdt)), s_diag, s_ct),
+        ("min", "max", "sum", "sum", "min", "max"), neq)
+    g_u = sc_u
+    # discard stochastic D->D spawns (ref merge rule :5947): their
+    # partial sum is subtracted at the end row of every in-D group
+    g_wt = jnp.where(sc_u == 0, sc_wt - sc_dwt, sc_wt)
+    g_init = sc_init
     # group diag/ct: rows of one group are the same det, so any resident
-    # row's value wins; all-spawn groups stay unknown (DIAG_UNKNOWN / -2) and are
-    # evaluated in the compacted fresh pass below
-    g_diag = jax.ops.segment_min(s_diag, gid, num_segments=N,
-                                 indices_are_sorted=True)
-    g_ct = jax.ops.segment_max(s_ct, gid, num_segments=N,
-                               indices_are_sorted=True)
+    # row's value wins; all-spawn groups stay unknown (DIAG_UNKNOWN / -2)
+    # and are evaluated in the compacted fresh pass below
+    g_diag = sc_diag
+    g_ct = sc_ct
 
-    g_valid = g_u <= 127
+    g_valid = is_end & (g_u <= 127)
     g_imp = jnp.where(g_u == 0, 0,
                       jnp.where(g_u == 1, -2, g_u - 1)).astype(jnp.int32)
 
@@ -1640,19 +1667,15 @@ def _full_sort_merge(state, cfg, tables, key_red, alive, wt_par, diag,
     keep = keep & ~kill
 
     # ---------------- compact to [M] ---------------------------------------
-    # group-space scatters for the merged payloads; the KEYS compact from
-    # row space (first row of each kept group) so the group keys are never
-    # materialized (u64 scatters emulate to paired u32 scatters - the most
-    # expensive ops in the merge)
+    # everything lives at the segment-END rows now, so ONE row-space
+    # destination serves keys and payloads alike (u64 key scatters
+    # emulate to paired u32 scatters - the most expensive ops in the
+    # merge)
     pos = prefix.cumsum_i32(keep.astype(jnp.int32)) - 1
     nwalk_new = (pos[-1] + 1).astype(jnp.int32)
     overflow = overflow | (nwalk_new > M)
     dest = jnp.where(keep, pos, M)   # out-of-range dropped by mode="drop"
-
-    kg = keep[gid]
-    pg = pos[gid]
-    row_keep = neq & kg
-    dest_row = jnp.where(row_keep, pg, M)
+    dest_row = dest
 
     def scat64(dst, template_u64, vals_u64):
         # 64-bit scatters lower to a slow path on TPU; two explicit u32
@@ -1668,10 +1691,10 @@ def _full_sort_merge(state, cfg, tables, key_red, alive, wt_par, diag,
             lo.astype(jnp.uint64)
 
     out_keys = [scat64(dest_row, SENT, k) for k in s_keys]
-    # exact f64 group sums, accumulated IN the output array (one f64
-    # scatter-add instead of an f64 segment-sum plus an f64 scatter)
-    out_wt_raw = jnp.zeros(M, wdt).at[jnp.where(kg, pg, M)].add(
-        wtc, mode="drop")
+    # the exact wdt group sums are already in hand at the end rows: one
+    # unique-index SET (the old formulation needed a per-row scatter-ADD)
+    out_wt_raw = jnp.zeros(M, wdt).at[dest].set(
+        g_wt, mode="drop", unique_indices=True)
 
     # ONE wide-row scatter for all remaining group payloads (scatter cost
     # is per-row DMA latency, so a [*, K] u32 row beats K planar

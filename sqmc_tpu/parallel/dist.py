@@ -450,6 +450,8 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
         imp_ell_vals=jnp.asarray(e_vals.reshape(-1).astype(fdt)),
         imp_ell_row=jnp.asarray(e_row.reshape(-1)),
         imp_diag=jnp.asarray(e_diag.reshape(-1)),
+        # sharded projection stays on the per-shard block-ELL layout
+        imp_dense=jnp.zeros((0, 0), jnp.float32),
     )
 
     # initial population distributed by owner
@@ -508,7 +510,7 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
         imp_up=sharded, imp_dn=sharded, imp_rows=sharded, imp_cols=sharded,
         imp_vals=sharded,
         imp_ell_cols=sharded, imp_ell_vals=sharded, imp_ell_row=sharded,
-        imp_diag=sharded,
+        imp_diag=sharded, imp_dense=repl,
         guide=jax.tree_util.tree_map(lambda _: repl, base.guide))
     stats_specs = dict(e_num_gen=repl, e_den_gen=repl, w_abs_gen=repl,
                        nwalk=repl, e_gen=repl, n_spawn=repl,

@@ -83,13 +83,22 @@ def test_f32_state_walk_accuracy():
     trial = build_trial_wavefunction(sys_, eps_var=1e-9,
                                      n_psi_t=len(res.up),
                                      n_imp=len(res.up), verbose=False)
-    cfg = WalkConfig(mwalk=2048, cap_spawn=4096, norb=sys_.norb, nup=2,
-                     ndn=2, n_words=1, tau=5e-3, w_abs_target=500.0,
-                     has_singles=False, f32_state=True)
-    out = run_walk(sys_, trial, cfg, nstep=30, nblk=2, nblk_eq=1,
-                   w_abs_begin=500.0, e_trial_initial=res.energies[0],
-                   verbose=False)
-    assert abs(out.e_mixed - res.energies[0]) < 5e-6
+    # deterministic limit through BOTH projection forms: the dense MXU
+    # matvec (f32-state default, n_imp <= dense_proj_max) and the
+    # block-ELL gather (dense_proj_max=0); they differ only in summation
+    # order so both must sit on the f32 rounding floor
+    e_by_form = {}
+    for dense_max in (16384, 0):
+        cfg = WalkConfig(mwalk=2048, cap_spawn=4096, norb=sys_.norb, nup=2,
+                         ndn=2, n_words=1, tau=5e-3, w_abs_target=500.0,
+                         has_singles=False, f32_state=True,
+                         dense_proj_max=dense_max)
+        out = run_walk(sys_, trial, cfg, nstep=30, nblk=2, nblk_eq=1,
+                       w_abs_begin=500.0, e_trial_initial=res.energies[0],
+                       verbose=False)
+        assert abs(out.e_mixed - res.energies[0]) < 5e-6
+        e_by_form[dense_max] = out.e_mixed
+    assert abs(e_by_form[16384] - e_by_form[0]) < 1e-5
 
     trial2 = build_trial_wavefunction(sys_, eps_var=1e-3, n_psi_t=30,
                                       n_imp=10, verbose=False)
