@@ -439,6 +439,23 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
         e_row[d, :er.shape[0]] = er
         e_diag[d] = dg
 
+    # per-shard DENSE projection (f32-state, small global D space): each
+    # shard stores its row slice [m_loc, n_glob] of the off-diagonal
+    # matrix and the step's matvec is one MXU matmul against the
+    # all-gathered weight vector - same layout decision as the unsharded
+    # dense_proj_max path (walk.py), row-sliced instead of gathered
+    n_glob = n_dev * m_loc
+    imp_dense = np.zeros((0, 0), np.float32)
+    if cfg.f32_state and 0 < n_glob <= cfg.dense_proj_max:
+        imp_dense = np.zeros((n_glob, n_glob), np.float32)
+        for d in range(n_dev):
+            rr, cc, vv = (np.asarray(rows[d], np.int64),
+                          np.asarray(cols[d], np.int64),
+                          np.asarray(vals[d], np.float64))
+            keep = (vv != 0.0) & (cc != d * m_loc + rr)   # drop pad + diag
+            np.add.at(imp_dense, (d * m_loc + rr[keep], cc[keep]),
+                      vv[keep].astype(np.float32))
+
     fdt = np.float32 if cfg.f32_state else np.float64
     tables = base._replace(
         imp_up=jnp.asarray(su.reshape(n_dev * m_loc, -1)),
@@ -450,8 +467,7 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
         imp_ell_vals=jnp.asarray(e_vals.reshape(-1).astype(fdt)),
         imp_ell_row=jnp.asarray(e_row.reshape(-1)),
         imp_diag=jnp.asarray(e_diag.reshape(-1)),
-        # sharded projection stays on the per-shard block-ELL layout
-        imp_dense=jnp.zeros((0, 0), jnp.float32),
+        imp_dense=jnp.asarray(imp_dense),
     )
 
     # initial population distributed by owner
@@ -510,7 +526,10 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
         imp_up=sharded, imp_dn=sharded, imp_rows=sharded, imp_cols=sharded,
         imp_vals=sharded,
         imp_ell_cols=sharded, imp_ell_vals=sharded, imp_ell_row=sharded,
-        imp_diag=sharded, imp_dense=repl,
+        imp_diag=sharded,
+        # active dense projection shards by row slice; the inactive [0,0]
+        # placeholder replicates
+        imp_dense=(sharded if tables.imp_dense.shape[0] > 0 else repl),
         guide=jax.tree_util.tree_map(lambda _: repl, base.guide))
     stats_specs = dict(e_num_gen=repl, e_den_gen=repl, w_abs_gen=repl,
                        nwalk=repl, e_gen=repl, n_spawn=repl,
