@@ -1303,14 +1303,19 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         r_s = jnp.where(
             slots_ua2.astype(jnp.float32) < tables.u_alias_q[p_s, slot_r],
             slot_r, tables.u_alias_J[p_s, slot_r])
-        r_s_occ = jnp.where(e_up, bits_up[bb, r_s] != 0,
-                            bits_dn[bb, r_s] != 0)
-        # exact single element; sign by mask-window popcount on the packed
-        # words (bits strictly between p and r; p itself is occupied)
-        bits_same_sl = jnp.where(e_up[:, None], bits_up[bb], bits_dn[bb])
-        bits_other_sl = jnp.where(e_up[:, None], bits_dn[bb], bits_up[bb])
         uw = state.up[bb]
         dw = state.dn[bb]
+        r_s_occ = jnp.where(e_up, dets.get_orb(uw, r_s),
+                            dets.get_orb(dw, r_s))
+        # exact single element; sign by mask-window popcount on the packed
+        # words (bits strictly between p and r; p itself is occupied).
+        # The [*, norb] bit planes are UNPACKED from the already-gathered
+        # words (elementwise VPU shifts) instead of row-gathering the
+        # [M, norb] planes from HBM a second time.
+        bits_up_sl = dets.to_bits(uw, norb)
+        bits_dn_sl = dets.to_bits(dw, norb)
+        bits_same_sl = jnp.where(e_up[:, None], bits_up_sl, bits_dn_sl)
+        bits_other_sl = jnp.where(e_up[:, None], bits_dn_sl, bits_up_sl)
         words_same_s = jnp.where(e_up[:, None], uw, dw)
         n_btw = dets.count_below(words_same_s, p_s, r_s) - \
             (p_s < r_s).astype(jnp.int32)

@@ -75,11 +75,15 @@ def popcount(words: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("norb",))
 def to_bits(words: jnp.ndarray, norb: int) -> jnp.ndarray:
-    """Unpack packed words to a dense occupancy vector uint8[..., norb]."""
+    """Unpack packed words to a dense occupancy vector uint8[..., norb].
+
+    Shifts run on u32 half-word planes (bitcast puts the LOW half at
+    plane 0): TPU has no 64-bit registers, so a u64 shift emulates to a
+    long select chain while u32 shifts are single VPU ops."""
     W = words.shape[-1]
-    shifts = jnp.arange(BITS_PER_WORD, dtype=jnp.uint64)
-    # [..., W, 64]
-    bits = (words[..., :, None] >> shifts) & jnp.uint64(1)
+    planes = jax.lax.bitcast_convert_type(words, jnp.uint32)  # [..., W, 2]
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (planes[..., :, :, None] >> shifts) & jnp.uint32(1)
     bits = bits.reshape(*words.shape[:-1], W * BITS_PER_WORD)
     return bits[..., :norb].astype(jnp.uint8)
 
