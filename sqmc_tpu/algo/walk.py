@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import dets
-from ..ops import prefix, segscan, setalg
+from ..ops import prefix, rowpack, segscan, setalg
 from ..systems.heatbath import tri_le, tri_lt
 from ..systems.chem import slater
 
@@ -1043,10 +1043,8 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
                               occ_dn[:, jo.ravel()]], axis=1)
     n_uu = len(iu)
     n_dd = len(idn)
-    kind_pair = jnp.concatenate([
-        jnp.zeros((M, n_uu), jnp.int32), jnp.ones((M, n_dd), jnp.int32),
-        jnp.full((M, npairs - n_uu - n_dd), 2, jnp.int32)], axis=1)
 
+    n_od = npairs - n_uu - n_dd
     ntri_s = norb * (norb - 1) // 2
     # [M, npairs] heat-bath rowsums via MXU einsums over one-hot
     # occupation planes: onehot(occ) @ R @ onehot(occ)^T selects the
@@ -1142,23 +1140,63 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     ue = u_all[M + 2 * CAP:M + 3 * CAP]         # entry / orbital select
 
     b = parent
+
+    # ONE packed parent-row gather serves every per-slot parent lookup
+    # (det words, proposal cumulatives, normalizations, flags): K planar
+    # gathers cost ~K times one K-plane row gather on TPU, and u64
+    # planar gathers take a 4x emulated path (ops/rowpack.py,
+    # tools/microbench_gs.py)
+    if cfg.guiding != "none":
+        from .guiding import eval_guiding
+        psi_g_par = eval_guiding(tables.guide, cfg.guiding, state.up,
+                                 state.dn, norb, nup, ndn)
+    prp = rowpack.RowPack()
+    prp.add("up", state.up)
+    prp.add("dn", state.dn)
+    prp.add("pair_cum", pair_cum)
+    prp.add("pq", (p_pair.astype(jnp.uint32) |
+                   (q_pair.astype(jnp.uint32) << 8)))
+    prp.add("w2", W2tot)
+    prp.add("psing", p_single)
+    prp.add("wtc", wt_child)
+    prp.add("imp", state.imp)
+    prp.add("init", state.init)
     if cfg.has_singles:
-        take_single = ub < p_single[b]
+        prp.add("sing_cum", sing_cum)
+        prp.add("utot", Utot)
+        prp.add("occ", jnp.concatenate([occ_up, occ_dn], axis=1))
+    if cfg.guiding != "none":
+        prp.add("gpar", psi_g_par)
+    parent_pack = prp.pack()
+    prow = rowpack.gather_rows(parent_pack, b)
+    up_w = prp.unpack(prow, "up")
+    dn_w = prp.unpack(prow, "dn")
+    w2_b = prp.unpack(prow, "w2")
+    psing_b = prp.unpack(prow, "psing")
+    wtc_b = prp.unpack(prow, "wtc")
+
+    if cfg.has_singles:
+        take_single = ub < psing_b
     else:
         take_single = jnp.zeros(CAP, bool)
 
     # ---- doubles path ----
-    # pair ~ row weights: gather the parent's [npairs] cumulative row once
-    # and count entries <= target (one contiguous-row gather instead of a
-    # log2(npairs)-deep bisection of scattered gathers)
-    targ = (up_ * W2tot[b]).astype(jnp.float32)
-    pair_rows = jnp.take(pair_cum, b, axis=0)              # [CAP, npairs]
+    # pair ~ row weights: the parent's [npairs] cumulative row is already
+    # in the packed gather; count entries <= target (one contiguous row
+    # instead of a log2(npairs)-deep bisection of scattered gathers)
+    targ = (up_ * w2_b).astype(jnp.float32)
+    pair_rows = prp.unpack(prow, "pair_cum")               # [CAP, npairs]
     pair_i = jnp.minimum(
         jnp.sum(pair_rows <= targ[:, None], axis=1).astype(jnp.int32),
         npairs - 1)
-    pp = p_pair[b, pair_i]
-    qq = q_pair[b, pair_i]
-    kk = kind_pair[b, pair_i]
+    pq_sel = jnp.take_along_axis(prp.unpack(prow, "pq"),
+                                 pair_i[:, None], axis=1)[:, 0]
+    pp = (pq_sel & jnp.uint32(0xFF)).astype(jnp.int32)
+    qq = ((pq_sel >> 8) & jnp.uint32(0xFF)).astype(jnp.int32)
+    # pair kind is a function of the pair INDEX alone (uu block, then dd,
+    # then opposite-spin) - pure arithmetic, no [M, npairs] table
+    kk = jnp.where(pair_i < n_uu, 0,
+                   jnp.where(pair_i < n_uu + n_dd, 1, 2))
     opp = kk == 2
     # per-slot row descriptors: the row id is recomputed elementwise from
     # the selected orbitals (no [M, npairs] row-id materialization), then
@@ -1168,7 +1206,6 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     rc_slot = jnp.where(opp, ntri_s + tri_le(a_s, b_s), tri_lt(a_s, b_s))
     st = tables.hb_start[rc_slot]
     ct = tables.hb_count[rc_slot]
-    rsum = pr_rowsum[b, pair_i]
 
     ua2 = u_all[M + 3 * CAP:M + 4 * CAP]
     extra_fail = jnp.zeros(CAP, bool)
@@ -1223,8 +1260,6 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         s2 = jnp.where(opp, s, jnp.maximum(r, s))
         r, s = r2, s2
 
-    up_w = state.up[b]
-    dn_w = state.dn[b]
     r_occ = jnp.where(opp | (kk == 0), dets.get_orb(up_w, r),
                       dets.get_orb(dn_w, r))
     s_occ = jnp.where(opp, dets.get_orb(dn_w, s),
@@ -1263,12 +1298,12 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     if cfg.proposal == "fast_heatbath":
         # p(pair, r, s) = (1-p_single) * |H| / W2tot exactly, so every
         # accepted double has constant magnitude
-        w_dbl = -tau * jnp.sign(h_signed_dbl) * W2tot[b] / \
-            jnp.maximum(1.0 - p_single[b], TINY)
+        w_dbl = -tau * jnp.sign(h_signed_dbl) * w2_b / \
+            jnp.maximum(1.0 - psing_b, TINY)
     else:
         prw_sel = pr_weight[b, pair_i]
-        p_sel = prw_sel / jnp.maximum(W2tot[b], TINY) * p_rs * \
-            jnp.maximum(1.0 - p_single[b], TINY)
+        p_sel = prw_sel / jnp.maximum(w2_b, TINY) * p_rs * \
+            jnp.maximum(1.0 - psing_b, TINY)
         w_dbl = jnp.where(extra_fail | (p_sel <= 0), 0.0,
                           -tau * h_signed_dbl / jnp.maximum(p_sel, TINY))
 
@@ -1283,18 +1318,22 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
                                  dets.set_orb(dets.set_orb(dets.clear_orb(dets.clear_orb(dn_w, pp), qq), r), s)))
 
     # ---- singles path (chem) ----
-    def singles_at(slots_b, slots_ue, slots_ua2, slots_up_):
-        """Single-excitation proposals for a batch of slots (parent b,
-        and the electron/orbital/accept uniforms).  Returns
+    def singles_at(rows_sl, slots_ue, slots_ua2, slots_up_):
+        """Single-excitation proposals for a batch of slots.  `rows_sl`
+        is the slots' packed parent-row gather (det words, singles
+        cumulative, occupations, normalizations all ride it).  Returns
         (up, dn, wt_factor, ok)."""
-        occ_all = jnp.concatenate([occ_up, occ_dn], axis=1)   # [M, nelec]
-        bb = slots_b
-        targ_s = (slots_up_ * Utot[bb]).astype(jnp.float32)
-        sing_rows = jnp.take(sing_cum, bb, axis=0)            # [S, nelec]
+        utot_b = prp.unpack(rows_sl, "utot")
+        ps_b = prp.unpack(rows_sl, "psing")
+        sing_rows = prp.unpack(rows_sl, "sing_cum")           # [S, nelec]
+        occ_rows = prp.unpack(rows_sl, "occ")
+        uw = prp.unpack(rows_sl, "up")
+        dw = prp.unpack(rows_sl, "dn")
+        targ_s = (slots_up_ * utot_b).astype(jnp.float32)
         e_i = jnp.minimum(
             jnp.sum(sing_rows <= targ_s[:, None], axis=1).astype(jnp.int32),
             nelec - 1)
-        p_s = occ_all[bb, e_i]
+        p_s = jnp.take_along_axis(occ_rows, e_i[:, None], axis=1)[:, 0]
         e_up = e_i < nup
         # target orbital ~ U[p_s, :] via per-row alias (ue: slot, ua2:
         # accept - ua2 is reused from the doubles branch; each slot takes
@@ -1303,8 +1342,6 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         r_s = jnp.where(
             slots_ua2.astype(jnp.float32) < tables.u_alias_q[p_s, slot_r],
             slot_r, tables.u_alias_J[p_s, slot_r])
-        uw = state.up[bb]
-        dw = state.dn[bb]
         r_s_occ = jnp.where(e_up, dets.get_orb(uw, r_s),
                             dets.get_orb(dw, r_s))
         # exact single element; sign by mask-window popcount on the packed
@@ -1322,8 +1359,8 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         sgn_s = jnp.where(n_btw % 2 == 0, 1.0, -1.0)
         h_sng = sgn_s * slater.single_element_no_sign(
             tables.table, bits_same_sl, bits_other_sl, p_s, r_s)
-        p_sel_sng = p_single[bb] * tables.u_table[p_s, r_s] / \
-            jnp.maximum(Utot[bb], TINY)
+        p_sel_sng = ps_b * tables.u_table[p_s, r_s] / \
+            jnp.maximum(utot_b, TINY)
         w_s = -tau * h_sng / jnp.maximum(p_sel_sng, TINY)
         moved_up = dets.set_orb(dets.clear_orb(uw, p_s), r_s)
         moved_dn = dets.set_orb(dets.clear_orb(dw, p_s), r_s)
@@ -1346,7 +1383,8 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
             jnp.arange(CAP, dtype=jnp.int32), mode="drop")
         live_s = idx_s < CAP
         ic = jnp.clip(idx_s, 0, CAP - 1)
-        c_up, c_dn, c_wt, c_ok = singles_at(b[ic], ue[ic], ua2[ic],
+        rows_c = rowpack.gather_rows(parent_pack, b[ic])
+        c_up, c_dn, c_wt, c_ok = singles_at(rows_c, ue[ic], ua2[ic],
                                             up_[ic])
         c_ok = c_ok & live_s
         # scatter back by the UNCLIPPED source index (dead rows hold CAP
@@ -1362,7 +1400,7 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         sng_ok = jnp.zeros(CAP, bool).at[idx_s].set(c_ok, mode="drop")
         sng_ok = sng_ok & take_single
     elif cfg.has_singles:
-        sng_up, sng_dn, w_sng, sng_ok = singles_at(b, ue, ua2, up_)
+        sng_up, sng_dn, w_sng, sng_ok = singles_at(prow, ue, ua2, up_)
         overflow_s = jnp.asarray(False)
     else:
         sng_up = dbl_up
@@ -1376,12 +1414,12 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     if cfg.use_exponential_projector:
         spawn_up, spawn_dn, ct_f, spawn_ok = _ct_chain(
             cfg, tables, state, b, slot_valid, keys[7], tau, e_trial)
-        spawn_wt = ct_f * wt_child[b]
+        spawn_wt = ct_f * wtc_b
     else:
         spawn_up = jnp.where(take_single[:, None], sng_up, dbl_up)
         spawn_dn = jnp.where(take_single[:, None], sng_dn, dbl_dn)
         spawn_ok = jnp.where(take_single, sng_ok, dbl_ok) & slot_valid
-        spawn_wt = jnp.where(take_single, w_sng, w_dbl) * wt_child[b]
+        spawn_wt = jnp.where(take_single, w_sng, w_dbl) * wtc_b
     spawn_wt = jnp.where(spawn_ok, spawn_wt, 0.0)
 
     # ---------------- time-reversal symmetrized basis -----------------------
@@ -1411,28 +1449,27 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
 
     # ---------------- importance sampling + run_type sign rules ------------
     if cfg.guiding != "none":
-        # spawn weight x psi_g(target)/psi_g(parent) (ref det_ratio_*)
-        from .guiding import eval_guiding
-        psi_g_par = eval_guiding(tables.guide, cfg.guiding, state.up,
-                                 state.dn, norb, nup, ndn)
+        # spawn weight x psi_g(target)/psi_g(parent) (ref det_ratio_*);
+        # psi_g over the parents rides the packed parent-row gather
         psi_g_t = eval_guiding(tables.guide, cfg.guiding, spawn_up,
                                spawn_dn, norb, nup, ndn)
-        gp = psi_g_par[b]
+        gp = prp.unpack(prow, "gpar")
         ratio = psi_g_t / jnp.where(jnp.abs(gp) < TINY, TINY, gp)
         spawn_wt = spawn_wt * ratio
 
     # child flags (ref: do_walk.f90:3700-3730)
-    par_imp = state.imp[b]
+    par_imp = prp.unpack(prow, "imp")
     child_imp = jnp.where(par_imp == -2, 2,
                           jnp.minimum(par_imp, 125) + 1)
     child_imp = jnp.where(cfg.semistochastic & (par_imp == 0), -1, child_imp)
-    child_init = jnp.where(state.init[b] >= 2, 1, 0).astype(jnp.int32)
+    child_init = jnp.where(prp.unpack(prow, "init") >= 2, 1,
+                           0).astype(jnp.int32)
 
     if cfg.run_type not in ("none", "no_fixed_node"):
         # sign-violating flow: spawn sign opposite the parent's (ref move
         # variants do_walk.f90:3460-4748; densewalk._projector_parts holds
         # the matrix form of the same rules)
-        viol = spawn_ok & (spawn_wt * jnp.sign(wt_child[b]) < 0)
+        viol = spawn_ok & (spawn_wt * jnp.sign(wtc_b) < 0)
         if cfg.run_type == "fixed_node2":
             spawn_wt = jnp.where(viol, -spawn_wt, spawn_wt)
         elif cfg.run_type == "fixed_node3":
@@ -1672,71 +1709,47 @@ def _full_sort_merge(state, cfg, tables, key_red, alive, wt_par, diag,
     keep = keep & ~kill
 
     # ---------------- compact to [M] ---------------------------------------
-    # everything lives at the segment-END rows now, so ONE row-space
-    # destination serves keys and payloads alike (u64 key scatters
-    # emulate to paired u32 scatters - the most expensive ops in the
-    # merge)
+    # inverse compaction: ONE planar i32 scatter builds output-slot ->
+    # sorted-row, then ONE packed row gather moves every output field
+    # (keys, weight, flags, diag, ct) at once.  A wide scatter is 17x a
+    # planar one on v5e and even per-field planar scatters pay per row;
+    # the packed row gather pays once (tools/microbench_gs.py: the old
+    # multi-scatter formulation was ~31 ms/step at these shapes, this
+    # form ~5 ms).  plane0 packs (rounded | init<<1 | (imp+2)<<3; imp in
+    # [-2,126], template 127 == "far from D", equivalent to the old 10^6
+    # under pack_flags' clip).
     pos = prefix.cumsum_i32(keep.astype(jnp.int32)) - 1
     nwalk_new = (pos[-1] + 1).astype(jnp.int32)
     overflow = overflow | (nwalk_new > M)
     dest = jnp.where(keep, pos, M)   # out-of-range dropped by mode="drop"
-    dest_row = dest
 
-    def scat64(dst, template_u64, vals_u64):
-        # 64-bit scatters lower to a slow path on TPU; two explicit u32
-        # plane scatters are ~4x cheaper and bit-exact.  Kept destinations
-        # are unique by construction (out-of-range rows are dropped).
-        hi = jnp.full(M, jnp.uint32(template_u64 >> jnp.uint64(32))).at[
-            dst].set((vals_u64 >> jnp.uint64(32)).astype(jnp.uint32),
-                     mode="drop", unique_indices=True)
-        lo = jnp.full(M, jnp.uint32(template_u64 & jnp.uint64(0xFFFFFFFF))
-                      ).at[dst].set(vals_u64.astype(jnp.uint32),
-                                    mode="drop", unique_indices=True)
-        return (hi.astype(jnp.uint64) << jnp.uint64(32)) | \
-            lo.astype(jnp.uint64)
-
-    out_keys = [scat64(dest_row, SENT, k) for k in s_keys]
-    # the exact wdt group sums are already in hand at the end rows: one
-    # unique-index SET (the old formulation needed a per-row scatter-ADD)
-    out_wt_raw = jnp.zeros(M, wdt).at[dest].set(
-        g_wt, mode="drop", unique_indices=True)
-
-    # ONE wide-row scatter for all remaining group payloads (scatter cost
-    # is per-row DMA latency, so a [*, K] u32 row beats K planar
-    # scatters): plane 0 packs (rounded | init<<1 | (imp+2)<<3; imp in
-    # [-2,126], template 127 == "far from D", equivalent to the old 10^6
-    # under pack_flags' clip), plane 1 is ct, planes 2(+3) the diag bits
     plane0 = (rounded.astype(jnp.uint32) |
               (g_init.astype(jnp.uint32) << 1) |
               ((g_imp + 2).astype(jnp.uint32) << 3))
-    diag_bits = jax.lax.bitcast_convert_type(g_diag, jnp.uint32)
-    if wdt == jnp.float64:
-        packed_g = jnp.stack([plane0,
-                              jax.lax.bitcast_convert_type(g_ct, jnp.uint32),
-                              diag_bits[:, 0], diag_bits[:, 1]], axis=1)
-        tmpl_diag = jax.lax.bitcast_convert_type(
-            jnp.float64(DIAG_UNKNOWN), jnp.uint32)
-        tmpl = [jnp.uint32((127 + 2) << 3),
-                jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.uint32),
-                tmpl_diag[0], tmpl_diag[1]]
-    else:
-        packed_g = jnp.stack([plane0,
-                              jax.lax.bitcast_convert_type(g_ct, jnp.uint32),
-                              diag_bits], axis=1)
-        tmpl = [jnp.uint32((127 + 2) << 3),
-                jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.uint32),
-                jax.lax.bitcast_convert_type(jnp.float32(DIAG_UNKNOWN),
-                                             jnp.uint32)]
-    base = jnp.tile(jnp.stack(tmpl)[None, :], (M, 1))
-    out_g = base.at[dest].set(packed_g, mode="drop", unique_indices=True)
-    out_rnd = (out_g[:, 0] & 1) != 0
-    out_init = ((out_g[:, 0] >> 1) & 3).astype(jnp.int32)
-    out_imp = ((out_g[:, 0] >> 3) & 255).astype(jnp.int32) - 2
-    out_ct = jax.lax.bitcast_convert_type(out_g[:, 1], jnp.int32)
-    if wdt == jnp.float64:
-        out_diag = jax.lax.bitcast_convert_type(out_g[:, 2:4], jnp.float64)
-    else:
-        out_diag = jax.lax.bitcast_convert_type(out_g[:, 2], jnp.float32)
+    rp = rowpack.RowPack()
+    for i, k in enumerate(s_keys):
+        rp.add(f"k{i}", k)
+    rp.add("wt", g_wt)
+    rp.add("p0", plane0)
+    rp.add("ct", g_ct)
+    rp.add("diag", g_diag)
+    src = jnp.zeros(M, jnp.int32).at[dest].set(
+        jnp.arange(N, dtype=jnp.int32), mode="drop", unique_indices=True)
+    rows = rowpack.gather_rows(rp.pack(), src)
+    tmpl = rp.defaults_row({**{f"k{i}": SENT for i in range(len(s_keys))},
+                            "wt": 0.0, "p0": (127 + 2) << 3, "ct": -1,
+                            "diag": DIAG_UNKNOWN})
+    valid_out = jnp.arange(M, dtype=jnp.int32) < nwalk_new
+    rows = jnp.where(valid_out[:, None], rows, tmpl[None, :])
+
+    out_keys = [rp.unpack(rows, f"k{i}") for i in range(len(s_keys))]
+    out_wt_raw = rp.unpack(rows, "wt")
+    p0 = rp.unpack(rows, "p0")
+    out_rnd = (p0 & 1) != 0
+    out_init = ((p0 >> 1) & 3).astype(jnp.int32)
+    out_imp = ((p0 >> 3) & 255).astype(jnp.int32) - 2
+    out_ct = rp.unpack(rows, "ct")
+    out_diag = rp.unpack(rows, "diag")
 
     out_wt = jnp.where(out_rnd, jnp.sign(out_wt_raw) * cfg.min_wt,
                        out_wt_raw)
@@ -1955,9 +1968,13 @@ def _finalize_step(state, tables, cfg, out_up, out_dn, out_wt, out_init,
     n_ct = tables.ct_num.shape[0]
     safe_ct = jnp.clip(out_ct, 0, n_ct - 1)
     match = out_ct >= 0
-    e_num_gen = jnp.sum(jnp.where(match, tables.ct_num[safe_ct] * out_wt,
+    # (num, den) ride ONE packed row gather (two planar f64 gathers at
+    # [M] cost ~4 ms/step on v5e; one 16B-row gather ~1.5 ms)
+    ctnd = jnp.take(jnp.stack([tables.ct_num, tables.ct_den], axis=1),
+                    safe_ct, axis=0)
+    e_num_gen = jnp.sum(jnp.where(match, ctnd[:, 0] * out_wt,
                                   0.0), dtype=jnp.float64)
-    e_den_gen = jnp.sum(jnp.where(match, tables.ct_den[safe_ct] * out_wt,
+    e_den_gen = jnp.sum(jnp.where(match, ctnd[:, 1] * out_wt,
                                   0.0), dtype=jnp.float64)
     w_abs_gen = jnp.sum(jnp.abs(out_wt), dtype=jnp.float64)
     nwalk_stat = nwalk_new
@@ -2019,8 +2036,11 @@ def _finalize_step(state, tables, cfg, out_up, out_dn, out_wt, out_init,
     hbin = jnp.clip(jnp.floor(jnp.log2(jnp.maximum(aw_sp, TINY))) + 20.0,
                     0, N_HIST_BINS - 1).astype(jnp.int32)
     hbin = jnp.where(spawn_ok & (aw_sp > 0), hbin, N_HIST_BINS)
-    spawn_hist = jnp.zeros(N_HIST_BINS, jnp.int32).at[hbin].add(
-        1, mode="drop")
+    # one-hot reduction instead of a [CAP] scatter-add (out-of-range rows
+    # one_hot to all-zero = drop); counts < 2^24 are exact in f32
+    spawn_hist = jnp.sum(jax.nn.one_hot(hbin, N_HIST_BINS,
+                                        dtype=jnp.float32),
+                         axis=0).astype(jnp.int32)
     if cfg.axis_name is not None:
         spawn_hist = jax.lax.psum(spawn_hist, cfg.axis_name)
 
