@@ -241,17 +241,18 @@ class WalkTables(NamedTuple):
     # arrays: a [batch, k]-shaped gather of a k-wide packed row pads the
     # minor dim to 128 on TPU (a [1.25M*28, 3] f32 gather materializes
     # 17.9 GB), while per-plane gathers lay out clean [batch] vectors
-    hb_alias_q: jnp.ndarray      # [n_tot] f32 alias acceptance
-    hb_alias_J: jnp.ndarray      # [n_tot] i32 alias partner
-    hb_start: jnp.ndarray        # [ntri_s + ntri_o] i32 row start
-    hb_count: jnp.ndarray        # [ntri_s + ntri_o] i32 row count
-    hb_rowsum: jnp.ndarray       # [ntri_s + ntri_o] f32 row |H| sum
+    # packed u32 planes (ops/rowpack layout, bit-exact bitcast moves): one
+    # row gather replaces K planar gathers at the same per-row cost
+    hb_alias_qJ: jnp.ndarray     # [n_tot, 2] u32: (f32 acceptance, i32 J)
+    hb_row_scr: jnp.ndarray      # [ntri_s + ntri_o, 3] u32:
+                                 #   (i32 row start, i32 count, f32 |H| sum)
     # the same row sums as DENSE symmetric [norb, norb] f32 matrices, so
-    # the per-walker [M, npairs] rowsum evaluation is two MXU einsums
-    # over one-hot occupation planes (onehot(occ) @ R @ onehot(occ)^T)
+    # the per-walker [M, npairs] rowsum evaluation is one spin-block MXU
+    # einsum chain over one-hot occupation planes (O2 @ R2 @ O2^T)
     # instead of M*npairs serialized scalar gathers (measured 100 ms/step
-    # at M=600k on v5e).  One-hot selection reproduces the f32 table
-    # entries exactly, so the sampler stays self-consistent.
+    # at M=600k on v5e).  NOTE the MXU quantizes the entries to bf16
+    # (measured, tools/microbench_rowsum.py); the spawn weights carry an
+    # exact S/diff correction so unbiasedness never depends on it.
     hb_rs_dense: jnp.ndarray     # [norb, norb] f32 same-spin (diag 0)
     hb_ro_dense: jnp.ndarray     # [norb, norb] f32 opposite-spin
     # continuous-time projector tables (cfg.use_exponential_projector,
@@ -264,8 +265,14 @@ class WalkTables(NamedTuple):
     # row sums, and per-row alias tables for O(1) target sampling
     u_table: jnp.ndarray         # [norb, norb]
     u_rowsum: jnp.ndarray        # [norb]
-    u_alias_q: jnp.ndarray       # [norb, norb] f32 alias acceptance over U
-    u_alias_J: jnp.ndarray       # [norb, norb] i32 alias partner
+    u_alias_qJ: jnp.ndarray      # [norb*norb, 2] u32: (f32 accept, i32 J)
+    # f32-state fast path for the singles element: one [norb^2, 2norb+2]
+    # f32 row gather keyed by p*norb+r carries (pr|qq) rows, (pq|qr) rows,
+    # h_pr AND the U[p,r] bound - replacing two f64 row gathers + three
+    # scalar gathers.  [1, 1] placeholder when inactive (f64 state or no
+    # singles); f32 element noise ~1e-6 Ha enters spawn weights only
+    # (the f32 state already quantizes them)
+    sng_pack: jnp.ndarray        # [norb^2, 2*norb+2] f32 or [1, 1]
     # Cauchy-Schwarz separable bound c[p,r] = sqrt|(pr|pr)| with per-row
     # alias tables (proposal='cauchy_schwarz')
     cs_c: jnp.ndarray            # [norb, norb]
@@ -459,6 +466,14 @@ def build_walk_tables(system, trial, guide=None, cfg=None) -> WalkTables:
     for p_ in range(norb):
         if u_rowsum[p_] > 0:
             u_aliasJ[p_], u_aliasq[p_] = setup_alias_np(U[p_] / u_rowsum[p_])
+    sng_pack = np.zeros((1, 1), np.float32)
+    if (cfg is not None and cfg.f32_state and system.has_singles
+            and getattr(table, "sing_dir", None) is not None):
+        sng_pack = np.concatenate([
+            np.asarray(table.sing_dir, np.float64),
+            np.asarray(table.sing_exch, np.float64),
+            np.asarray(table.h, np.float64).reshape(-1, 1),
+            U.reshape(-1, 1)], axis=1).astype(np.float32)
 
     # row-complete symmetric COO (diag + both orientations of the stored
     # upper triangle) so the projection is a single segment-sum
@@ -525,6 +540,8 @@ def build_walk_tables(system, trial, guide=None, cfg=None) -> WalkTables:
     hb_rssign = (sgn * (rs_cat + 1.0)).astype(np.float32)
     hb_alias_q = np.concatenate([s_q, o_q]).astype(np.float32)
     hb_alias_J = np.concatenate([s_J, o_J]).astype(np.int32)
+    hb_alias_qJ = np.stack([hb_alias_q.view(np.uint32),
+                            hb_alias_J.view(np.uint32)], axis=1)
     hb_start = np.concatenate([
         np.asarray(hb.same_start, np.int64),
         np.asarray(hb.opp_start, np.int64) + n_same]).astype(np.int32)
@@ -533,6 +550,11 @@ def build_walk_tables(system, trial, guide=None, cfg=None) -> WalkTables:
     # f32 rowsums: the sampler stays self-consistent (selection probability
     # and weight normalization read the same array)
     hb_rowsum = np.concatenate([s_rowsum, o_rowsum]).astype(np.float32)
+    # one packed (start, count, rowsum) row per pair class: the per-slot
+    # row descriptor becomes ONE row gather instead of three planar ones
+    hb_row_scr = np.stack([hb_start.view(np.uint32),
+                           hb_count.view(np.uint32),
+                           hb_rowsum.view(np.uint32)], axis=1)
 
     # dense [norb, norb] views of the f32 rowsums (MXU proposal path)
     aa, bb_ = np.triu_indices(norb, k=1)
@@ -616,16 +638,17 @@ def build_walk_tables(system, trial, guide=None, cfg=None) -> WalkTables:
 
     return WalkTables(
         hb_rssign=jnp.asarray(hb_rssign),
-        hb_alias_q=jnp.asarray(hb_alias_q),
-        hb_alias_J=jnp.asarray(hb_alias_J),
-        hb_start=jnp.asarray(hb_start), hb_count=jnp.asarray(hb_count),
-        hb_rowsum=jnp.asarray(hb_rowsum),
+        hb_alias_qJ=jnp.asarray(hb_alias_qJ),
+        hb_row_scr=jnp.asarray(hb_row_scr),
         hb_rs_dense=jnp.asarray(rs_dense),
         hb_ro_dense=jnp.asarray(ro_dense),
         kmap3=jnp.asarray(kmap3), ct_rate=jnp.asarray(float(ct_rate)),
         u_table=jnp.asarray(U), u_rowsum=jnp.asarray(u_rowsum),
-        u_alias_q=jnp.asarray(u_aliasq.astype(np.float32)),
-        u_alias_J=jnp.asarray(u_aliasJ),
+        sng_pack=jnp.asarray(sng_pack),
+        u_alias_qJ=jnp.asarray(np.stack(
+            [u_aliasq.astype(np.float32).reshape(-1).view(np.uint32),
+             u_aliasJ.astype(np.int32).reshape(-1).view(np.uint32)],
+            axis=1)),
         cs_c=jnp.asarray(cs_c), cs_rowsum=jnp.asarray(cs_rowsum),
         cs_aliasJ=jnp.asarray(cs_J2), cs_aliasq=jnp.asarray(cs_q2),
         table=table,
@@ -848,7 +871,10 @@ def _fill_fresh(cfg, tables, up, dn, diag, ct, need):
     f_dn = dn[fi]
     fb_up = dets.to_bits(f_up, norb)
     fb_dn = dets.to_bits(f_dn, norb)
-    f_diag = slater.diag_elements(tables.table, fb_up, fb_dn)
+    # f32-state runs evaluate the diagonal directly in f32 (see
+    # slater.diag_elements dtype note; the state stores f32 regardless)
+    f_diag = slater.diag_elements(tables.table, fb_up, fb_dn,
+                                  dtype=diag.dtype)
     if cfg.time_sym:
         # ts diagonal cross term z*<i|H|rev_i> for non-self-symmetric
         # representatives (ref hamiltonian_chem_time_sym diagonal branch)
@@ -1046,21 +1072,37 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
 
     n_od = npairs - n_uu - n_dd
     ntri_s = norb * (norb - 1) // 2
-    # [M, npairs] heat-bath rowsums via MXU einsums over one-hot
-    # occupation planes: onehot(occ) @ R @ onehot(occ)^T selects the
-    # dense-f32 table entries EXACTLY (one nonzero per dot), replacing
-    # M*npairs serialized scalar gathers (100 ms/step at M=600k on v5e;
-    # the per-slot row descriptors are recomputed elementwise below)
-    O_up = jax.nn.one_hot(occ_up, norb, dtype=jnp.float32)   # [M,nup,norb]
-    O_dn = jax.nn.one_hot(occ_dn, norb, dtype=jnp.float32)
-    G_us = jnp.einsum("mio,oq->miq", O_up, tables.hb_rs_dense)
-    G_ds = jnp.einsum("mio,oq->miq", O_dn, tables.hb_rs_dense)
-    G_uo = jnp.einsum("mio,oq->miq", O_up, tables.hb_ro_dense)
-    pr_uu = jnp.einsum("miq,mjq->mij", G_us, O_up)[:, iu, ju]
-    pr_dd = jnp.einsum("miq,mjq->mij", G_ds, O_dn)[:, idn, jdn]
-    pr_od = jnp.einsum("miq,mjq->mij", G_uo, O_dn).reshape(M, -1)
-    pr_rowsum = jnp.concatenate([pr_uu, pr_dd, pr_od],
-                                axis=1).astype(wdt)
+    # [M, npairs] heat-bath rowsums via ONE spin-block MXU einsum chain
+    # over 2*norb spin-orbital one-hots: with R2 = [[R_s, R_o],
+    # [R_o^T, R_s]] augmented by the singles row-sum column,
+    # P = O2 R2 O2^T yields every pair block AND the per-electron singles
+    # rowsums in two batched matmuls, replacing the previous per-spin-block
+    # einsums (15.9 vs 22.8 ms/step at bench shapes,
+    # tools/microbench_rowsum.py) and the M*npairs serialized scalar
+    # gathers before them (100 ms/step at M=600k).
+    # PRECISION NOTE (measured, tools/microbench_rowsum.py): the v5e MXU
+    # rounds the f32 table entries to bf16 at ANY precision setting on
+    # this backend - only pure-gather formulations return the exact f32
+    # entries, at 20-30x the cost.  The SELECTION arrays below are
+    # therefore bf16-quantized; unbiasedness does not rely on them being
+    # exact, because each channel's spawn WEIGHT divides by the realized
+    # selection cell and multiplies by the exact f32 alias normalization
+    # (see the fast_heatbath / singles corrections below) - quantization
+    # reshapes the proposal distribution, never the estimate.
+    occ2 = jnp.concatenate([occ_up, occ_dn + norb], axis=1)   # [M, nelec]
+    O2 = jax.nn.one_hot(occ2, 2 * norb, dtype=jnp.float32)
+    R2 = jnp.concatenate([
+        jnp.concatenate([tables.hb_rs_dense, tables.hb_ro_dense], axis=1),
+        jnp.concatenate([tables.hb_ro_dense.T, tables.hb_rs_dense], axis=1),
+    ], axis=0)
+    u2col = jnp.tile(tables.u_rowsum.astype(jnp.float32), 2)[:, None]
+    A2 = jnp.concatenate([R2, u2col], axis=1)                 # [2n, 2n+1]
+    G2 = jnp.einsum("mio,oq->miq", O2, A2)                    # [M,ne,2n+1]
+    P2 = jnp.einsum("miq,mjq->mij", G2[:, :, :2 * norb], O2)  # [M,ne,ne]
+    flat_pairs = np.concatenate(
+        [iu * nelec + ju, (nup + idn) * nelec + (nup + jdn),
+         io.ravel() * nelec + (nup + jo.ravel())]).astype(np.int32)
+    pr_rowsum = P2.reshape(M, nelec * nelec)[:, flat_pairs].astype(wdt)
     if cfg.proposal == "uniform":
         pr_weight = jnp.where(pr_rowsum > 0, 1.0, 0.0)
     elif cfg.proposal == "cauchy_schwarz":
@@ -1076,12 +1118,9 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     W2tot = pair_cum[:, -1].astype(wdt)                      # [M]
 
     if cfg.has_singles:
-        # same MXU trick for the per-electron singles rowsums (the f32
-        # cast commutes with the exact one-hot selection)
-        O_all = jnp.concatenate([O_up, O_dn], axis=1)      # [M,nelec,norb]
-        u_rows = jnp.einsum("mio,o->mi", O_all,
-                            tables.u_rowsum.astype(jnp.float32))
-        sing_cum = prefix.cumsum_rows(u_rows.astype(jnp.float32))
+        # per-electron singles rowsums = the augmented column of G2
+        u_rows = G2[:, :, -1]                                # [M, nelec]
+        sing_cum = prefix.cumsum_rows(u_rows)
         Utot = sing_cum[:, -1].astype(wdt)                   # [M]
     else:
         sing_cum = jnp.zeros((M, 1))
@@ -1204,8 +1243,10 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     a_s = jnp.minimum(pp, qq)
     b_s = jnp.maximum(pp, qq)
     rc_slot = jnp.where(opp, ntri_s + tri_le(a_s, b_s), tri_lt(a_s, b_s))
-    st = tables.hb_start[rc_slot]
-    ct = tables.hb_count[rc_slot]
+    row_scr = tables.hb_row_scr[rc_slot]          # [CAP, 3] packed u32
+    st = jax.lax.bitcast_convert_type(row_scr[:, 0], jnp.int32)
+    ct = jax.lax.bitcast_convert_type(row_scr[:, 1], jnp.int32)
+    S_exact = jax.lax.bitcast_convert_type(row_scr[:, 2], jnp.float32)
 
     ua2 = u_all[M + 3 * CAP:M + 4 * CAP]
     extra_fail = jnp.zeros(CAP, bool)
@@ -1217,12 +1258,15 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         # slot, then accept-or-alias; planar (q, J) gathers and ONE f32
         # gather of sign(H)*(rs+1) - only the element's SIGN matters here
         # (the spawn magnitude is the constant W2tot form).
-        n_cat = tables.hb_alias_q.shape[0]
+        n_cat = tables.hb_alias_qJ.shape[0]
         slot = jnp.minimum((ue * ct).astype(jnp.int32),
                            jnp.maximum(ct - 1, 0))
         i0 = jnp.clip(st + slot, 0, n_cat - 1)
-        rank = jnp.where(ua2.astype(jnp.float32) < tables.hb_alias_q[i0],
-                         slot, tables.hb_alias_J[i0])
+        qJ = tables.hb_alias_qJ[i0]               # [CAP, 2] packed u32
+        rank = jnp.where(
+            ua2.astype(jnp.float32) <
+            jax.lax.bitcast_convert_type(qJ[:, 0], jnp.float32),
+            slot, jax.lax.bitcast_convert_type(qJ[:, 1], jnp.int32))
         rv = tables.hb_rssign[jnp.clip(st + rank, 0, n_cat - 1)]  # [CAP]
         rs = jnp.abs(rv).astype(jnp.int32) - 1
         val_tab = rv.astype(jnp.float64)   # sign carrier only
@@ -1297,9 +1341,25 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
 
     if cfg.proposal == "fast_heatbath":
         # p(pair, r, s) = (1-p_single) * |H| / W2tot exactly, so every
-        # accepted double has constant magnitude
+        # accepted double has constant magnitude...
         w_dbl = -tau * jnp.sign(h_signed_dbl) * w2_b / \
             jnp.maximum(1.0 - psing_b, TINY)
+        # ...up to the exact-unbiasedness correction: the realized
+        # p(pair) is diff/W2tot with diff the (bf16-quantized, see the
+        # rowsum PRECISION NOTE) cumulative cell, while the in-row alias
+        # draw is normalized by the EXACT f32 rowsum S = hb_rowsum[row].
+        # Multiplying by S/diff makes E[spawn] = -tau*H*w exactly,
+        # independent of MXU rounding (without it every pair channel
+        # carries a systematic ~2^-9 misweight on TPU).
+        S_sel = S_exact.astype(wdt)   # rides the hb_row_scr gather above
+        row_prev = jnp.concatenate(
+            [jnp.zeros((CAP, 1), pair_rows.dtype), pair_rows[:, :-1]],
+            axis=1)
+        hit = jnp.arange(npairs, dtype=jnp.int32)[None, :] == \
+            pair_i[:, None]
+        diff_sel = jnp.sum(jnp.where(hit, pair_rows - row_prev, 0.0),
+                           axis=1).astype(wdt)
+        w_dbl = w_dbl * jnp.where(diff_sel > 0, S_sel / diff_sel, 1.0)
     else:
         prw_sel = pr_weight[b, pair_i]
         p_sel = prw_sel / jnp.maximum(w2_b, TINY) * p_rs * \
@@ -1339,9 +1399,11 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         # accept - ua2 is reused from the doubles branch; each slot takes
         # exactly one branch so the streams never interact)
         slot_r = jnp.minimum((slots_ue * norb).astype(jnp.int32), norb - 1)
+        qJ_s = tables.u_alias_qJ[p_s * norb + slot_r]   # [S, 2] packed u32
         r_s = jnp.where(
-            slots_ua2.astype(jnp.float32) < tables.u_alias_q[p_s, slot_r],
-            slot_r, tables.u_alias_J[p_s, slot_r])
+            slots_ua2.astype(jnp.float32) <
+            jax.lax.bitcast_convert_type(qJ_s[:, 0], jnp.float32),
+            slot_r, jax.lax.bitcast_convert_type(qJ_s[:, 1], jnp.int32))
         r_s_occ = jnp.where(e_up, dets.get_orb(uw, r_s),
                             dets.get_orb(dw, r_s))
         # exact single element; sign by mask-window popcount on the packed
@@ -1357,16 +1419,47 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         n_btw = dets.count_below(words_same_s, p_s, r_s) - \
             (p_s < r_s).astype(jnp.int32)
         sgn_s = jnp.where(n_btw % 2 == 0, 1.0, -1.0)
-        h_sng = sgn_s * slater.single_element_no_sign(
-            tables.table, bits_same_sl, bits_other_sl, p_s, r_s)
-        p_sel_sng = ps_b * tables.u_table[p_s, r_s] / \
-            jnp.maximum(utot_b, TINY)
+        if tables.sng_pack.shape[0] > 1:
+            # f32-state fast path: (pr|qq), (pq|qr), h_pr and U[p,r] all
+            # ride ONE packed f32 row gather (see WalkTables.sng_pack)
+            srow = tables.sng_pack[p_s * norb + r_s]
+            direct_row = srow[:, :norb]
+            exch_row = srow[:, norb:2 * norb]
+            h_pr = srow[:, 2 * norb]
+            u_sel = srow[:, 2 * norb + 1]
+            qs = jnp.arange(norb, dtype=jnp.int32)
+            mask_pr = (qs[None, :] != p_s[:, None]) & \
+                (qs[None, :] != r_s[:, None])
+            same_m = bits_same_sl.astype(jnp.float32) * mask_pr
+            other_f = bits_other_sl.astype(jnp.float32)
+            h_sng = sgn_s * (
+                h_pr
+                + jnp.sum((direct_row - exch_row) * same_m, axis=-1)
+                + jnp.sum(direct_row * other_f, axis=-1))
+        else:
+            h_sng = sgn_s * slater.single_element_no_sign(
+                tables.table, bits_same_sl, bits_other_sl, p_s, r_s)
+            u_sel = tables.u_table[p_s, r_s]
+        p_sel_sng = ps_b * u_sel / jnp.maximum(utot_b, TINY)
         w_s = -tau * h_sng / jnp.maximum(p_sel_sng, TINY)
+        # exact-unbiasedness correction (see the fast_heatbath analog):
+        # realized p(electron) = diff/Utot from the bf16-quantized
+        # cumulative, while the alias target draw is normalized by the
+        # exact row sum u_rowsum[p] - multiply by u_rowsum[p]/diff
+        S_sng = tables.u_rowsum[p_s].astype(w_s.dtype)
+        row_prev_s = jnp.concatenate(
+            [jnp.zeros((sing_rows.shape[0], 1), sing_rows.dtype),
+             sing_rows[:, :-1]], axis=1)
+        hit_s = jnp.arange(nelec, dtype=jnp.int32)[None, :] == \
+            e_i[:, None]
+        diff_sng = jnp.sum(jnp.where(hit_s, sing_rows - row_prev_s, 0.0),
+                           axis=1).astype(w_s.dtype)
+        w_s = w_s * jnp.where(diff_sng > 0, S_sng / diff_sng, 1.0)
         moved_up = dets.set_orb(dets.clear_orb(uw, p_s), r_s)
         moved_dn = dets.set_orb(dets.clear_orb(dw, p_s), r_s)
         s_up = jnp.where(e_up[:, None], moved_up, uw)
         s_dn = jnp.where(e_up[:, None], dw, moved_dn)
-        s_ok = (~r_s_occ) & (tables.u_table[p_s, r_s] > 0)
+        s_ok = (~r_s_occ) & (u_sel > 0)
         return s_up, s_dn, w_s, s_ok
 
     CAPS = cfg.cap_single

@@ -515,11 +515,10 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
         e_num_blk=repl, e_den_blk=repl, w_abs_gen=repl, overflow=repl,
         step=repl)
     table_specs = WalkTables(
-        hb_rssign=repl, hb_alias_q=repl, hb_alias_J=repl,
-        hb_start=repl, hb_count=repl, hb_rowsum=repl,
+        hb_rssign=repl, hb_alias_qJ=repl, hb_row_scr=repl,
         hb_rs_dense=repl, hb_ro_dense=repl,
         kmap3=repl, ct_rate=repl,
-        u_table=repl, u_rowsum=repl, u_alias_q=repl, u_alias_J=repl,
+        u_table=repl, u_rowsum=repl, u_alias_qJ=repl, sng_pack=repl,
         cs_c=repl, cs_rowsum=repl, cs_aliasJ=repl, cs_aliasq=repl,
         table=jax.tree_util.tree_map(lambda _: repl, base.table),
         ct_up=repl, ct_dn=repl, ct_num=repl, ct_den=repl,

@@ -31,7 +31,7 @@ from .integrals import IntegralTable
 # ---------------------------------------------------------------------------
 
 def diag_elements(table: IntegralTable, bits_up: jnp.ndarray,
-                  bits_dn: jnp.ndarray) -> jnp.ndarray:
+                  bits_dn: jnp.ndarray, dtype=jnp.float64) -> jnp.ndarray:
     """<D|H|D> for a batch of dets. [B, norb] x2 -> [B] float64.
 
     E = E_core + sum_p n_p h_pp
@@ -39,9 +39,17 @@ def diag_elements(table: IntegralTable, bits_up: jnp.ndarray,
         + u^T D d
         - 1/2 (u^T X u - sum u_p X_pp) - 1/2 (d^T X d - sum d_p X_pp)
     with D[p,q]=(pp|qq), X[p,q]=(pq|qp).
+
+    dtype=float32 is the f32-walker-state fast path: the fused matmul
+    runs native f32 at Precision.HIGHEST (honored for plain dots on the
+    v5e, measured 2e-7 relative in tools/microbench_rowsum.py /
+    PERF_NOTES) instead of 6-pass-emulated f64, adding ~1e-5 Ha noise to
+    a value the f32 state was about to quantize to ~5e-6 Ha anyway -
+    the diagonal feeds only the death factor 1+tau*(E_T-H_ii), never the
+    f64 estimators.
     """
-    u = bits_up.astype(jnp.float64)
-    d = bits_dn.astype(jnp.float64)
+    u = bits_up.astype(dtype)
+    d = bits_dn.astype(dtype)
     h_diag = jnp.diagonal(table.h)
     D = table.direct
     X = table.exchange
@@ -53,9 +61,10 @@ def diag_elements(table: IntegralTable, bits_up: jnp.ndarray,
     norb = u.shape[-1]
     B = u.shape[0]
     A = jnp.concatenate([D, X, h_diag[:, None], Dd[:, None]],
-                        axis=1)                      # [norb, 2*norb+2]
+                        axis=1).astype(dtype)        # [norb, 2*norb+2]
     both = jnp.concatenate([u, d], axis=0)           # [2B, norb]
-    out = both @ A                                   # [2B, 2*norb+2]
+    out = jnp.matmul(both, A,
+                     precision=jax.lax.Precision.HIGHEST)  # [2B, 2*norb+2]
     uD, dD = out[:B, :norb], out[B:, :norb]
     uX, dX = out[:B, norb:2 * norb], out[B:, norb:2 * norb]
     u_h, d_h = out[:B, 2 * norb], out[B:, 2 * norb]

@@ -67,6 +67,8 @@ def main():
                     help="use the two-level merge instead of the full sort")
     ap.add_argument("--f32", action="store_true",
                     help="f32 walker-state mode (cfg.f32_state)")
+    ap.add_argument("--cap-single", type=int, default=0,
+                    help="compact the singles channel to this many slots")
     ap.add_argument("--w-begin", type=float, default=0.0,
                     help="initial |weight| (default pop)")
     args = ap.parse_args()
@@ -99,7 +101,7 @@ def main():
                      spawn_granularity=args.g, min_wt=args.min_wt,
                      r_initiator=args.r_init,
                      full_sort_merge=not args.two_level,
-                     f32_state=args.f32)
+                     f32_state=args.f32, cap_single=args.cap_single)
     out = run_walk(system, trial, cfg, nstep=args.nstep, nblk=args.nblk,
                    nblk_eq=args.nblk_eq,
                    w_abs_begin=args.w_begin or args.pop,
@@ -123,7 +125,7 @@ def main():
         * out.steps_per_sec,
         "weight_steps_per_sec": pop * out.steps_per_sec,
         "merge": "two_level" if args.two_level else "full_sort",
-        "f32_state": args.f32,
+        "f32_state": args.f32, "cap_single": args.cap_single,
         "mwalk": cfg.mwalk, "cap_spawn": cfg.cap_spawn,
     }
     line = json.dumps(rec)
