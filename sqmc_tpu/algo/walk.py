@@ -2231,7 +2231,7 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
              max_eq_extensions: int = 3,
              checkpoint_file: str | None = None,
              resume_state: "WalkState | None" = None,
-             guide=None) -> WalkResult:
+             guide=None, tables_transform=None) -> WalkResult:
     """Block/step driver with equilibration (ref: do_walk.f90:2113).
 
     Energy estimate: ratio of block sums of e_num/e_den with blocking error
@@ -2246,6 +2246,11 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
     import time
 
     tables = build_walk_tables(system, trial, guide=guide, cfg=cfg)
+    if tables_transform is not None:
+        # test hook: perturb device tables after construction (e.g.
+        # quantize the dense selection rowsums the way the TPU MXU does,
+        # tests/test_walk.py::test_walk_quantized_selection_unbiased)
+        tables = tables_transform(tables)
     if resume_state is not None:
         # mid-walk restart (extends the reference's restart artifacts,
         # SURVEY 5.4: "no mid-walk walker checkpoint exists" - here one

@@ -91,6 +91,41 @@ def test_walk_uniform_proposal_unbiased(tiny):
     assert abs(out.e_mixed - res.energies[0]) < tol
 
 
+def test_walk_quantized_selection_unbiased(tiny):
+    """The heat-bath spawn weight must stay exactly unbiased when the
+    dense selection rowsums are QUANTIZED relative to the exact alias
+    normalization - the production situation on TPU, where the MXU
+    rounds the one-hot einsum's f32 table entries to bf16 at any
+    precision setting (measured, tools/microbench_rowsum.py) while
+    hb_row_scr keeps the exact f32 rowsums.  Quantizing to ONE mantissa
+    bit (up to ~33% per-channel error, ~128x coarser than bf16) biases
+    an uncorrected sampler by +1.1e-3 Ha here - 18x this tolerance
+    (measured by disabling the correction); the S/diff correction in
+    the fast_heatbath branch must absorb it exactly."""
+    sys_, res = tiny
+
+    def q1(x):
+        m, e = np.frexp(np.asarray(x, np.float64))
+        return jnp.asarray(np.ldexp(np.round(m * 2) / 2, e)
+                           .astype(np.float32))
+
+    def quantize(tables):
+        return tables._replace(hb_rs_dense=q1(tables.hb_rs_dense),
+                               hb_ro_dense=q1(tables.hb_ro_dense))
+
+    trial = build_trial_wavefunction(sys_, eps_var=1e-3, n_psi_t=30, n_imp=1,
+                                     verbose=False)
+    cfg = WalkConfig(mwalk=4096, cap_spawn=16384, norb=sys_.norb, nup=2,
+                     ndn=2, n_words=1, tau=5e-3, w_abs_target=2000.0,
+                     has_singles=False, r_initiator=0.0)
+    out = run_walk(sys_, trial, cfg, nstep=100, nblk=6, nblk_eq=3,
+                   w_abs_begin=1000.0, e_trial_initial=res.energies[0],
+                   verbose=False, max_eq_extensions=0,
+                   tables_transform=quantize)
+    tol = 6 * max(out.e_err, 5e-6) + 2e-5
+    assert abs(out.e_mixed - res.energies[0]) < tol
+
+
 @pytest.mark.parametrize("proposal", ["uniform", "cauchy_schwarz"])
 def test_walk_chem_proposals_unbiased(proposal):
     """uniform / Cauchy-Schwarz proposals on a chem-type system (dense
