@@ -233,17 +233,15 @@ class WalkTables(NamedTuple):
     logical lookup is ONE narrow HBM gather (ref tables: chemistry.f90
     setup_efficient_heatbath:872/dtm_hb + setup_alias,
     more_tools.f90:5603)."""
-    hb_rssign: jnp.ndarray       # [n_tot] f32: sign(H) * (r*norb+s + 1)
-    #                              (fast_heatbath needs only the target
-    #                              pair and the element SIGN - the spawn
-    #                              magnitude is the constant W2tot form)
-    # per-entry alias tables and per-row descriptors are SEPARATE planar
-    # arrays: a [batch, k]-shaped gather of a k-wide packed row pads the
-    # minor dim to 128 on TPU (a [1.25M*28, 3] f32 gather materializes
-    # 17.9 GB), while per-plane gathers lay out clean [batch] vectors
     # packed u32 planes (ops/rowpack layout, bit-exact bitcast moves): one
-    # row gather replaces K planar gathers at the same per-row cost
-    hb_alias_qJ: jnp.ndarray     # [n_tot, 2] u32: (f32 acceptance, i32 J)
+    # row gather replaces K planar gathers at the same per-row cost.
+    # Each alias entry carries (f32 acceptance q, f32 own target value,
+    # f32 alias-partner target value) where the target value is
+    # sign(H) * (r*norb+s + 1) - fast_heatbath needs only the target pair
+    # and the element SIGN (the spawn magnitude is the constant W2tot
+    # form), and carrying the partner VALUE instead of its index J turns
+    # accept-or-alias into one row gather + one select (no second gather)
+    hb_alias_pack: jnp.ndarray   # [n_tot, 3] u32: (q, rs_own, rs_partner)
     hb_row_scr: jnp.ndarray      # [ntri_s + ntri_o, 3] u32:
                                  #   (i32 row start, i32 count, f32 |H| sum)
     # the same row sums as DENSE symmetric [norb, norb] f32 matrices, so
@@ -540,13 +538,23 @@ def build_walk_tables(system, trial, guide=None, cfg=None) -> WalkTables:
     hb_rssign = (sgn * (rs_cat + 1.0)).astype(np.float32)
     hb_alias_q = np.concatenate([s_q, o_q]).astype(np.float32)
     hb_alias_J = np.concatenate([s_J, o_J]).astype(np.int32)
-    hb_alias_qJ = np.stack([hb_alias_q.view(np.uint32),
-                            hb_alias_J.view(np.uint32)], axis=1)
     hb_start = np.concatenate([
         np.asarray(hb.same_start, np.int64),
         np.asarray(hb.opp_start, np.int64) + n_same]).astype(np.int32)
     hb_count = np.concatenate([np.asarray(hb.same_count),
                                np.asarray(hb.opp_count)]).astype(np.int32)
+    # alias entries carry their OWN target value and their alias
+    # PARTNER's value (precomputed here), so the accept-or-alias draw is
+    # one row gather + one select - no post-alias hb_rssign re-gather
+    n_tot = len(hb_rssign)
+    ers = np.arange(n_tot, dtype=np.int64)   # padding entries: self
+    for st_, ct_ in zip(hb_start.astype(np.int64),
+                        hb_count.astype(np.int64)):
+        ers[st_:st_ + ct_] = st_
+    partner_rs = hb_rssign[np.clip(ers + hb_alias_J, 0, n_tot - 1)]
+    hb_alias_pack = np.stack([hb_alias_q.view(np.uint32),
+                              hb_rssign.view(np.uint32),
+                              partner_rs.view(np.uint32)], axis=1)
     # f32 rowsums: the sampler stays self-consistent (selection probability
     # and weight normalization read the same array)
     hb_rowsum = np.concatenate([s_rowsum, o_rowsum]).astype(np.float32)
@@ -637,8 +645,7 @@ def build_walk_tables(system, trial, guide=None, cfg=None) -> WalkTables:
             * abs(float(ex["U"])) / norb
 
     return WalkTables(
-        hb_rssign=jnp.asarray(hb_rssign),
-        hb_alias_qJ=jnp.asarray(hb_alias_qJ),
+        hb_alias_pack=jnp.asarray(hb_alias_pack),
         hb_row_scr=jnp.asarray(hb_row_scr),
         hb_rs_dense=jnp.asarray(rs_dense),
         hb_ro_dense=jnp.asarray(ro_dense),
@@ -781,7 +788,12 @@ def _searchsorted_dets(list_up, list_dn, q_up, q_dn, norb: int | None = None):
         qd = q_dn[:, 0]
         lk = (lu << jnp.uint64(32)) | (ld & jnp.uint64(0xFFFFFFFF))
         qk = (qu << jnp.uint64(32)) | (qd & jnp.uint64(0xFFFFFFFF))
-        idx = jnp.clip(jnp.searchsorted(lk, qk), 0, n - 1).astype(jnp.int32)
+        # method='sort' co-sorts queries with the list - one fused sort
+        # instead of log2(n) serialized [q]-wide gather rounds (sorts are
+        # nearly free on TPU, scattered gathers are not; 9.4 -> 6.2 ms at
+        # 33k queries x 129k list, PERF_NOTES round-3k)
+        idx = jnp.clip(jnp.searchsorted(lk, qk, method="sort"),
+                       0, n - 1).astype(jnp.int32)
         return jnp.where(lk[idx] == qk, idx, -1)
 
     lo = jnp.zeros(q_up.shape[:1], jnp.int32)
@@ -812,7 +824,8 @@ def _lower_bound_dets(list_up, list_dn, q_up, q_dn, norb: int | None = None):
             (list_dn[:, 0] & jnp.uint64(0xFFFFFFFF))
         qk = (q_up[:, 0] << jnp.uint64(32)) | \
             (q_dn[:, 0] & jnp.uint64(0xFFFFFFFF))
-        return jnp.searchsorted(lk, qk, side="left").astype(jnp.int32)
+        return jnp.searchsorted(lk, qk, side="left",
+                                method="sort").astype(jnp.int32)
     lo = jnp.zeros(q_up.shape[:1], jnp.int32)
     hi = jnp.full(q_up.shape[:1], n, jnp.int32)
     n_iter = max(int(np.ceil(np.log2(max(n, 2)))) + 1, 1)
@@ -1163,7 +1176,10 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     # slot -> parent walker: scatter each walker's index at its first slot
     # and forward-fill with a running max (walkers are ascending, and among
     # walkers sharing an offset only the last has children) - O(CAP)
-    # instead of a log(M)-deep batched searchsorted
+    # instead of a log(M)-deep batched searchsorted.  (A/B round-3k: the
+    # sort-based searchsorted(cum, t, 'right') form costs 7.2 ms vs 4.6 -
+    # sorting [M+CAP] loses to a [CAP] scatter+scan here, unlike the det
+    # searches below where queries are few and the list is large.)
     t = jnp.arange(CAP, dtype=jnp.int64)
     seed_par = jnp.full(CAP, -1, jnp.int32).at[
         jnp.clip(off_child, 0, CAP - 1)].max(
@@ -1255,19 +1271,19 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     if cfg.proposal == "fast_heatbath":
         # O(1) in-row target draw ~ |H| via per-row alias tables (ref:
         # setup_alias/sample_alias, more_tools.f90:5603,5665): uniform
-        # slot, then accept-or-alias; planar (q, J) gathers and ONE f32
-        # gather of sign(H)*(rs+1) - only the element's SIGN matters here
-        # (the spawn magnitude is the constant W2tot form).
-        n_cat = tables.hb_alias_qJ.shape[0]
+        # slot, then accept-or-alias as ONE packed row gather + select
+        # (the entry carries its own AND its partner's target value -
+        # see WalkTables.hb_alias_pack).
+        n_cat = tables.hb_alias_pack.shape[0]
         slot = jnp.minimum((ue * ct).astype(jnp.int32),
                            jnp.maximum(ct - 1, 0))
         i0 = jnp.clip(st + slot, 0, n_cat - 1)
-        qJ = tables.hb_alias_qJ[i0]               # [CAP, 2] packed u32
-        rank = jnp.where(
+        e3 = tables.hb_alias_pack[i0]             # [CAP, 3] packed u32
+        rv = jnp.where(
             ua2.astype(jnp.float32) <
-            jax.lax.bitcast_convert_type(qJ[:, 0], jnp.float32),
-            slot, jax.lax.bitcast_convert_type(qJ[:, 1], jnp.int32))
-        rv = tables.hb_rssign[jnp.clip(st + rank, 0, n_cat - 1)]  # [CAP]
+            jax.lax.bitcast_convert_type(e3[:, 0], jnp.float32),
+            jax.lax.bitcast_convert_type(e3[:, 1], jnp.float32),
+            jax.lax.bitcast_convert_type(e3[:, 2], jnp.float32))
         rs = jnp.abs(rv).astype(jnp.int32) - 1
         val_tab = rv.astype(jnp.float64)   # sign carrier only
         r_tab = rs // norb

@@ -515,7 +515,7 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
         e_num_blk=repl, e_den_blk=repl, w_abs_gen=repl, overflow=repl,
         step=repl)
     table_specs = WalkTables(
-        hb_rssign=repl, hb_alias_qJ=repl, hb_row_scr=repl,
+        hb_alias_pack=repl, hb_row_scr=repl,
         hb_rs_dense=repl, hb_ro_dense=repl,
         kmap3=repl, ct_rate=repl,
         u_table=repl, u_rowsum=repl, u_alias_qJ=repl, sng_pack=repl,
