@@ -7,14 +7,19 @@ Configuration (round-3, selected by the on-chip scans in
 re-validated the physics): 12k-det semistochastic deterministic space (HCI
 eps_var=1e-3), 2k-det Psi_T, granularity g=2, min_wt=0.5, r_initiator=0.5,
 f32 walker state, pop 2e5, tau=2e-3.  The measured initiator-bias ladder
-at these settings (bias vs the eps_var=1e-4+PT oracle -75.72859 Ha):
-    r_initiator 1.0 :  3.38 +- 0.49 mHa   at 0.96M walker-steps/s
-    r_initiator 0.5 :  1.46 +- 0.62 mHa   at 1.26M walker-steps/s
-    r_initiator 0.25:  1.19 +- 4.09 mHa   at 0.76M walker-steps/s (~r=0:
-                       every walker above min_wt=0.5 is an initiator)
+at these settings (bias vs the eps_var=1e-4+PT oracle -75.72859 Ha;
+throughputs from the mid-round-3 scans - the bench itself has since
+reached ~4M+ walker-steps/s at the same physics, see PERF_NOTES ladder):
+    r_initiator 1.0 :  3.38 +- 0.49 mHa
+    r_initiator 0.5 :  1.46 +- 0.62 mHa   (this configuration)
+    r_initiator 0.25:  1.19 +- 4.09 mHa   (~r=0: every walker above
+                       min_wt=0.5 is an initiator; error bar blows up)
 r=0.5 dominates r=1 on BOTH axes (initiator suppression kills fewer
 walkers, so more occupied dets update per generation at the same step
-cost).  bias_mHa below is measured in THIS run.
+cost).  bias_mHa below is measured in THIS run.  The spawn weights carry
+the exact S/diff unbiasedness correction (PERF_NOTES round-3i: the MXU
+quantizes the f32 selection tables to bf16; the correction makes
+E[spawn] = -tau*H*w independent of matmul rounding).
 
 "walker-steps/s" counts occupied-determinant updates per second (the
 reference's walker loop runs over occupied dets).  vs_baseline is computed
