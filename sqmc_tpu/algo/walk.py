@@ -1067,80 +1067,6 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         imp_pos = jnp.zeros(0, jnp.int32)
         deltaw = jnp.zeros(0)
 
-    # ---------------- per-walker proposal normalizations -------------------
-    bits_up = dets.to_bits(state.up, norb)
-    bits_dn = dets.to_bits(state.dn, norb)
-    occ_up = dets.occ_orbitals(bits_up, nup)
-    occ_dn = dets.occ_orbitals(bits_dn, ndn)
-
-    iu, ju = np.triu_indices(nup, k=1)
-    idn, jdn = np.triu_indices(ndn, k=1)
-    io, jo = np.meshgrid(np.arange(nup), np.arange(ndn), indexing="ij")
-    p_pair = jnp.concatenate([occ_up[:, iu], occ_dn[:, idn],
-                              occ_up[:, io.ravel()]], axis=1)   # [M, npairs]
-    q_pair = jnp.concatenate([occ_up[:, ju], occ_dn[:, jdn],
-                              occ_dn[:, jo.ravel()]], axis=1)
-    n_uu = len(iu)
-    n_dd = len(idn)
-
-    n_od = npairs - n_uu - n_dd
-    ntri_s = norb * (norb - 1) // 2
-    # [M, npairs] heat-bath rowsums via ONE spin-block MXU einsum chain
-    # over 2*norb spin-orbital one-hots: with R2 = [[R_s, R_o],
-    # [R_o^T, R_s]] augmented by the singles row-sum column,
-    # P = O2 R2 O2^T yields every pair block AND the per-electron singles
-    # rowsums in two batched matmuls, replacing the previous per-spin-block
-    # einsums (15.9 vs 22.8 ms/step at bench shapes,
-    # tools/microbench_rowsum.py) and the M*npairs serialized scalar
-    # gathers before them (100 ms/step at M=600k).
-    # PRECISION NOTE (measured, tools/microbench_rowsum.py): the v5e MXU
-    # rounds the f32 table entries to bf16 at ANY precision setting on
-    # this backend - only pure-gather formulations return the exact f32
-    # entries, at 20-30x the cost.  The SELECTION arrays below are
-    # therefore bf16-quantized; unbiasedness does not rely on them being
-    # exact, because each channel's spawn WEIGHT divides by the realized
-    # selection cell and multiplies by the exact f32 alias normalization
-    # (see the fast_heatbath / singles corrections below) - quantization
-    # reshapes the proposal distribution, never the estimate.
-    occ2 = jnp.concatenate([occ_up, occ_dn + norb], axis=1)   # [M, nelec]
-    O2 = jax.nn.one_hot(occ2, 2 * norb, dtype=jnp.float32)
-    R2 = jnp.concatenate([
-        jnp.concatenate([tables.hb_rs_dense, tables.hb_ro_dense], axis=1),
-        jnp.concatenate([tables.hb_ro_dense.T, tables.hb_rs_dense], axis=1),
-    ], axis=0)
-    u2col = jnp.tile(tables.u_rowsum.astype(jnp.float32), 2)[:, None]
-    A2 = jnp.concatenate([R2, u2col], axis=1)                 # [2n, 2n+1]
-    G2 = jnp.einsum("mio,oq->miq", O2, A2)                    # [M,ne,2n+1]
-    P2 = jnp.einsum("miq,mjq->mij", G2[:, :, :2 * norb], O2)  # [M,ne,ne]
-    flat_pairs = np.concatenate(
-        [iu * nelec + ju, (nup + idn) * nelec + (nup + jdn),
-         io.ravel() * nelec + (nup + jo.ravel())]).astype(np.int32)
-    pr_rowsum = P2.reshape(M, nelec * nelec)[:, flat_pairs].astype(wdt)
-    if cfg.proposal == "uniform":
-        pr_weight = jnp.where(pr_rowsum > 0, 1.0, 0.0)
-    elif cfg.proposal == "cauchy_schwarz":
-        pr_weight = tables.cs_rowsum[p_pair] * tables.cs_rowsum[q_pair]
-    else:
-        pr_weight = pr_rowsum
-    # f32 proposal tables: the sampler stays internally consistent (the
-    # selection probability and the weight normalization both read the
-    # same f32 cumulative), so the only effect is an O(1e-7) relative
-    # reshaping of the in-row split - far below statistical resolution;
-    # f64 arithmetic is software-emulated on TPU and dominated this block
-    pair_cum = prefix.cumsum_rows(pr_weight.astype(jnp.float32))
-    W2tot = pair_cum[:, -1].astype(wdt)                      # [M]
-
-    if cfg.has_singles:
-        # per-electron singles rowsums = the augmented column of G2
-        u_rows = G2[:, :, -1]                                # [M, nelec]
-        sing_cum = prefix.cumsum_rows(u_rows)
-        Utot = sing_cum[:, -1].astype(wdt)                   # [M]
-    else:
-        sing_cum = jnp.zeros((M, 1))
-        Utot = jnp.zeros(M)
-
-    p_single = jnp.where(Utot + W2tot > 0, Utot / (Utot + W2tot), 0.0)
-
     # ---------------- spawn slot allocation -------------------------------
     # one fused uniform draw for the parent-level + all per-slot streams
     # (one PRNG dispatch instead of five)
@@ -1157,7 +1083,13 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         can_spawn = alive
     else:
         sw = wt
-        can_spawn = alive & (W2tot + Utot > 0)
+        # every alive walker may draw slots: the proposal normalizations
+        # are computed at SLOT level below (1.75x fewer rows than [M] at
+        # bench occupancy, and the parent pack shrinks ~10x), and a
+        # zero-proposal parent (W2tot+Utot == 0 - physically absent in
+        # real systems) yields zero-weight children through the
+        # slot-level w2_b/diff guards
+        can_spawn = alive
     absw_sp = jnp.abs(sw)
     small = absw_sp < cfg.always_spawn_cutoff * g
     do_spawn_small = u_spawn < absw_sp / (cfg.always_spawn_cutoff * g)
@@ -1197,38 +1129,95 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     b = parent
 
     # ONE packed parent-row gather serves every per-slot parent lookup
-    # (det words, proposal cumulatives, normalizations, flags): K planar
-    # gathers cost ~K times one K-plane row gather on TPU, and u64
-    # planar gathers take a 4x emulated path (ops/rowpack.py,
-    # tools/microbench_gs.py)
-    if cfg.guiding != "none":
-        from .guiding import eval_guiding
-        psi_g_par = eval_guiding(tables.guide, cfg.guiding, state.up,
-                                 state.dn, norb, nup, ndn)
+    # (det words, child weight, flags): K planar gathers cost ~K times
+    # one K-plane row gather on TPU, and u64 planar gathers take a 4x
+    # emulated path (ops/rowpack.py, tools/microbench_gs.py).  The pack
+    # is SLIM - all proposal normalizations are recomputed at slot level
+    # from the gathered det words (round-3m: [CAP] < [M] rows, so the
+    # one-hot einsum chain and the cumulative rows shrink 1.75x, and the
+    # ~80-plane pack that used to carry them shrinks to ~8 planes;
+    # recomputation per slot is exact, so slots sharing a parent agree)
     prp = rowpack.RowPack()
     prp.add("up", state.up)
     prp.add("dn", state.dn)
-    prp.add("pair_cum", pair_cum)
-    prp.add("pq", (p_pair.astype(jnp.uint32) |
-                   (q_pair.astype(jnp.uint32) << 8)))
-    prp.add("w2", W2tot)
-    prp.add("psing", p_single)
     prp.add("wtc", wt_child)
     prp.add("imp", state.imp)
     prp.add("init", state.init)
-    if cfg.has_singles:
-        prp.add("sing_cum", sing_cum)
-        prp.add("utot", Utot)
-        prp.add("occ", jnp.concatenate([occ_up, occ_dn], axis=1))
-    if cfg.guiding != "none":
-        prp.add("gpar", psi_g_par)
     parent_pack = prp.pack()
     prow = rowpack.gather_rows(parent_pack, b)
     up_w = prp.unpack(prow, "up")
     dn_w = prp.unpack(prow, "dn")
-    w2_b = prp.unpack(prow, "w2")
-    psing_b = prp.unpack(prow, "psing")
     wtc_b = prp.unpack(prow, "wtc")
+
+    # ---- proposal normalizations (slot level) ----
+    bits_up_c = dets.to_bits(up_w, norb)
+    bits_dn_c = dets.to_bits(dn_w, norb)
+    occ_up_c = dets.occ_orbitals(bits_up_c, nup)
+    occ_dn_c = dets.occ_orbitals(bits_dn_c, ndn)
+
+    iu, ju = np.triu_indices(nup, k=1)
+    idn, jdn = np.triu_indices(ndn, k=1)
+    io, jo = np.meshgrid(np.arange(nup), np.arange(ndn), indexing="ij")
+    p_pair = jnp.concatenate([occ_up_c[:, iu], occ_dn_c[:, idn],
+                              occ_up_c[:, io.ravel()]], axis=1)  # [CAP, np]
+    q_pair = jnp.concatenate([occ_up_c[:, ju], occ_dn_c[:, jdn],
+                              occ_dn_c[:, jo.ravel()]], axis=1)
+    n_uu = len(iu)
+    n_dd = len(idn)
+    n_od = npairs - n_uu - n_dd
+    ntri_s = norb * (norb - 1) // 2
+    # [CAP, npairs] heat-bath rowsums via ONE spin-block MXU einsum chain
+    # over 2*norb spin-orbital one-hots: with R2 = [[R_s, R_o],
+    # [R_o^T, R_s]] augmented by the singles row-sum column,
+    # P = O2 R2 O2^T yields every pair block AND the per-electron singles
+    # rowsums in two batched matmuls (replacing per-spin-block einsums
+    # and, before those, per-element scalar gathers - 100 ms/step at
+    # M=600k; see tools/microbench_rowsum.py).
+    # PRECISION NOTE (measured, tools/microbench_rowsum.py): the v5e MXU
+    # rounds the f32 table entries to bf16 at ANY precision setting on
+    # this backend - only pure-gather formulations return the exact f32
+    # entries, at 20-30x the cost.  The SELECTION arrays below are
+    # therefore bf16-quantized; unbiasedness does not rely on them being
+    # exact, because each channel's spawn WEIGHT divides by the realized
+    # selection cell and multiplies by the exact f32 alias normalization
+    # (see the fast_heatbath / singles corrections below) - quantization
+    # reshapes the proposal distribution, never the estimate.
+    occ2 = jnp.concatenate([occ_up_c, occ_dn_c + norb], axis=1)
+    O2 = jax.nn.one_hot(occ2, 2 * norb, dtype=jnp.float32)
+    R2 = jnp.concatenate([
+        jnp.concatenate([tables.hb_rs_dense, tables.hb_ro_dense], axis=1),
+        jnp.concatenate([tables.hb_ro_dense.T, tables.hb_rs_dense], axis=1),
+    ], axis=0)
+    u2col = jnp.tile(tables.u_rowsum.astype(jnp.float32), 2)[:, None]
+    A2 = jnp.concatenate([R2, u2col], axis=1)                 # [2n, 2n+1]
+    G2 = jnp.einsum("mio,oq->miq", O2, A2)                    # [S,ne,2n+1]
+    P2 = jnp.einsum("miq,mjq->mij", G2[:, :, :2 * norb], O2)  # [S,ne,ne]
+    flat_pairs = np.concatenate(
+        [iu * nelec + ju, (nup + idn) * nelec + (nup + jdn),
+         io.ravel() * nelec + (nup + jo.ravel())]).astype(np.int32)
+    pr_rowsum = P2.reshape(CAP, nelec * nelec)[:, flat_pairs].astype(wdt)
+    if cfg.proposal == "uniform":
+        pr_weight = jnp.where(pr_rowsum > 0, 1.0, 0.0)
+    elif cfg.proposal == "cauchy_schwarz":
+        pr_weight = tables.cs_rowsum[p_pair] * tables.cs_rowsum[q_pair]
+    else:
+        pr_weight = pr_rowsum
+    # f32 proposal tables: the sampler stays internally consistent (the
+    # selection probability and the weight normalization both read the
+    # same f32 cumulative), so the only effect is an O(1e-7) relative
+    # reshaping of the in-row split - far below statistical resolution;
+    # f64 arithmetic is software-emulated on TPU and dominated this block
+    pair_rows = prefix.cumsum_rows(pr_weight.astype(jnp.float32))
+    w2_b = pair_rows[:, -1].astype(wdt)                       # [CAP]
+
+    if cfg.has_singles:
+        # per-electron singles rowsums = the augmented column of G2
+        sing_rows = prefix.cumsum_rows(G2[:, :, -1])          # [CAP, ne]
+        utot_b = sing_rows[:, -1].astype(wdt)
+    else:
+        sing_rows = jnp.zeros((CAP, 1))
+        utot_b = jnp.zeros(CAP)
+    psing_b = jnp.where(utot_b + w2_b > 0, utot_b / (utot_b + w2_b), 0.0)
 
     if cfg.has_singles:
         take_single = ub < psing_b
@@ -1236,16 +1225,15 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         take_single = jnp.zeros(CAP, bool)
 
     # ---- doubles path ----
-    # pair ~ row weights: the parent's [npairs] cumulative row is already
-    # in the packed gather; count entries <= target (one contiguous row
-    # instead of a log2(npairs)-deep bisection of scattered gathers)
+    # pair ~ row weights: count cumulative entries <= target (one
+    # contiguous row instead of a log2(npairs)-deep bisection)
     targ = (up_ * w2_b).astype(jnp.float32)
-    pair_rows = prp.unpack(prow, "pair_cum")               # [CAP, npairs]
     pair_i = jnp.minimum(
         jnp.sum(pair_rows <= targ[:, None], axis=1).astype(jnp.int32),
         npairs - 1)
-    pq_sel = jnp.take_along_axis(prp.unpack(prow, "pq"),
-                                 pair_i[:, None], axis=1)[:, 0]
+    pq_sel = jnp.take_along_axis(
+        p_pair.astype(jnp.uint32) | (q_pair.astype(jnp.uint32) << 8),
+        pair_i[:, None], axis=1)[:, 0]
     pp = (pq_sel & jnp.uint32(0xFF)).astype(jnp.int32)
     qq = ((pq_sel >> 8) & jnp.uint32(0xFF)).astype(jnp.int32)
     # pair kind is a function of the pair INDEX alone (uu block, then dd,
@@ -1377,7 +1365,8 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
                            axis=1).astype(wdt)
         w_dbl = w_dbl * jnp.where(diff_sel > 0, S_sel / diff_sel, 1.0)
     else:
-        prw_sel = pr_weight[b, pair_i]
+        prw_sel = jnp.take_along_axis(pr_weight,
+                                      pair_i[:, None], axis=1)[:, 0]
         p_sel = prw_sel / jnp.maximum(w2_b, TINY) * p_rs * \
             jnp.maximum(1.0 - psing_b, TINY)
         w_dbl = jnp.where(extra_fail | (p_sel <= 0), 0.0,
@@ -1394,17 +1383,17 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
                                  dets.set_orb(dets.set_orb(dets.clear_orb(dets.clear_orb(dn_w, pp), qq), r), s)))
 
     # ---- singles path (chem) ----
-    def singles_at(rows_sl, slots_ue, slots_ua2, slots_up_):
-        """Single-excitation proposals for a batch of slots.  `rows_sl`
-        is the slots' packed parent-row gather (det words, singles
-        cumulative, occupations, normalizations all ride it).  Returns
+    occ_rows_all = jnp.concatenate([occ_up_c, occ_dn_c], axis=1)
+
+    def singles_at(uw, dw, utot_sl, ps_sl, sing_sl, occ_sl,
+                   bits_u_sl, bits_d_sl, slots_ue, slots_ua2, slots_up_):
+        """Single-excitation proposals for a batch of slots, on the
+        slot-level det words / normalizations.  Returns
         (up, dn, wt_factor, ok)."""
-        utot_b = prp.unpack(rows_sl, "utot")
-        ps_b = prp.unpack(rows_sl, "psing")
-        sing_rows = prp.unpack(rows_sl, "sing_cum")           # [S, nelec]
-        occ_rows = prp.unpack(rows_sl, "occ")
-        uw = prp.unpack(rows_sl, "up")
-        dw = prp.unpack(rows_sl, "dn")
+        utot_b = utot_sl
+        ps_b = ps_sl
+        sing_rows = sing_sl                                   # [S, nelec]
+        occ_rows = occ_sl
         targ_s = (slots_up_ * utot_b).astype(jnp.float32)
         e_i = jnp.minimum(
             jnp.sum(sing_rows <= targ_s[:, None], axis=1).astype(jnp.int32),
@@ -1422,15 +1411,11 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
             slot_r, jax.lax.bitcast_convert_type(qJ_s[:, 1], jnp.int32))
         r_s_occ = jnp.where(e_up, dets.get_orb(uw, r_s),
                             dets.get_orb(dw, r_s))
-        # exact single element; sign by mask-window popcount on the packed
-        # words (bits strictly between p and r; p itself is occupied).
-        # The [*, norb] bit planes are UNPACKED from the already-gathered
-        # words (elementwise VPU shifts) instead of row-gathering the
-        # [M, norb] planes from HBM a second time.
-        bits_up_sl = dets.to_bits(uw, norb)
-        bits_dn_sl = dets.to_bits(dw, norb)
-        bits_same_sl = jnp.where(e_up[:, None], bits_up_sl, bits_dn_sl)
-        bits_other_sl = jnp.where(e_up[:, None], bits_dn_sl, bits_up_sl)
+        # exact single element; sign by mask-window popcount on the
+        # packed words (bits strictly between p and r; p itself is
+        # occupied).  Bit planes come in from the slot-level arrays.
+        bits_same_sl = jnp.where(e_up[:, None], bits_u_sl, bits_d_sl)
+        bits_other_sl = jnp.where(e_up[:, None], bits_d_sl, bits_u_sl)
         words_same_s = jnp.where(e_up[:, None], uw, dw)
         n_btw = dets.count_below(words_same_s, p_s, r_s) - \
             (p_s < r_s).astype(jnp.int32)
@@ -1492,9 +1477,10 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
             jnp.arange(CAP, dtype=jnp.int32), mode="drop")
         live_s = idx_s < CAP
         ic = jnp.clip(idx_s, 0, CAP - 1)
-        rows_c = rowpack.gather_rows(parent_pack, b[ic])
-        c_up, c_dn, c_wt, c_ok = singles_at(rows_c, ue[ic], ua2[ic],
-                                            up_[ic])
+        c_up, c_dn, c_wt, c_ok = singles_at(
+            up_w[ic], dn_w[ic], utot_b[ic], psing_b[ic], sing_rows[ic],
+            occ_rows_all[ic], bits_up_c[ic], bits_dn_c[ic],
+            ue[ic], ua2[ic], up_[ic])
         c_ok = c_ok & live_s
         # scatter back by the UNCLIPPED source index (dead rows hold CAP
         # and are dropped - a clipped index would clobber slot CAP-1)
@@ -1509,7 +1495,9 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         sng_ok = jnp.zeros(CAP, bool).at[idx_s].set(c_ok, mode="drop")
         sng_ok = sng_ok & take_single
     elif cfg.has_singles:
-        sng_up, sng_dn, w_sng, sng_ok = singles_at(prow, ue, ua2, up_)
+        sng_up, sng_dn, w_sng, sng_ok = singles_at(
+            up_w, dn_w, utot_b, psing_b, sing_rows, occ_rows_all,
+            bits_up_c, bits_dn_c, ue, ua2, up_)
         overflow_s = jnp.asarray(False)
     else:
         sng_up = dbl_up
@@ -1559,10 +1547,12 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     # ---------------- importance sampling + run_type sign rules ------------
     if cfg.guiding != "none":
         # spawn weight x psi_g(target)/psi_g(parent) (ref det_ratio_*);
-        # psi_g over the parents rides the packed parent-row gather
+        # both evaluated at slot level on the gathered det words
+        from .guiding import eval_guiding
         psi_g_t = eval_guiding(tables.guide, cfg.guiding, spawn_up,
                                spawn_dn, norb, nup, ndn)
-        gp = prp.unpack(prow, "gpar")
+        gp = eval_guiding(tables.guide, cfg.guiding, up_w, dn_w,
+                          norb, nup, ndn)
         ratio = psi_g_t / jnp.where(jnp.abs(gp) < TINY, TINY, gp)
         spawn_wt = spawn_wt * ratio
 
