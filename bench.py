@@ -171,6 +171,12 @@ def main():
     print(f"# e_mixed={out.e_mixed:.6f} +- {out.e_err:.6f}  "
           f"bias={bias_mha:.2f} mHa  pop={pop:.0f}  nwalk={nwalk_mean:.0f} "
           f"gen/s={out.steps_per_sec:.2f}", file=sys.stderr)
+    print(f"# occupied-det walker-steps/s={walker_steps:.3g} "
+          f"(nwalk x gen/s); weight walker-steps/s="
+          f"{pop * out.steps_per_sec:.3g} (|w| x gen/s) - both definitions "
+          f"reported, headline is the occupied-det rate (the reference's "
+          f"loop runs over occupied dets, do_walk.f90:2225)",
+          file=sys.stderr)
 
     record = {
         "metric": "c2_fciqmc_walker_steps_per_sec_per_chip",

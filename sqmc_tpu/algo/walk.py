@@ -1136,7 +1136,7 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     # one K-plane row gather on TPU, and u64 planar gathers take a 4x
     # emulated path (ops/rowpack.py, tools/microbench_gs.py).  The pack
     # is SLIM - all proposal normalizations are recomputed at slot level
-    # from the gathered det words (round-3m: [CAP] < [M] rows, so the
+    # from the gathered det words (round-3l: [CAP] < [M] rows, so the
     # one-hot einsum chain and the cumulative rows shrink 1.75x, and the
     # ~80-plane pack that used to carry them shrinks to ~8 planes;
     # recomputation per slot is exact, so slots sharing a parent agree)

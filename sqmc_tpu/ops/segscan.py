@@ -33,22 +33,21 @@ _OPS = {
 }
 
 
-def seg_scan(fields, ops, start, block=None):
+def seg_scan(fields, ops, start):
     """Inclusive segmented scan of several fields in one pass.
 
     fields: sequence of [N] arrays; ops: matching "sum" | "min" | "max"
     names; start: [N] bool segment-start flags.  Returns the list of
     inclusive-scanned fields (same dtypes).
 
-    ``block`` is accepted for API stability but ignored: a two-level
-    blocked evaluation (within-block scan + cross-block carry) was A/B'd
-    on v5e and LOST — the flat fused scan measures ~0.04 ms at the
-    bench's [720k] x 6 fields (XLA fuses the log-depth slice chain), the
-    blocked forms 0.05-8 ms (tools/microbench_scan.py).  The 6.4 ms the
-    device profile attributes to this file's scan line is fused
-    neighbor-op cost, not the scan itself.
+    Deliberately flat (no blocked two-level evaluation): a within-block
+    scan + cross-block carry variant was A/B'd on v5e and LOST — the
+    flat fused scan measures ~0.04 ms at the bench's [720k] x 6 fields
+    (XLA fuses the log-depth slice chain), the blocked forms 0.05-8 ms
+    (tools/microbench_scan.py).  The 6.4 ms the device profile
+    attributes to this file's scan line is fused neighbor-op cost, not
+    the scan itself.
     """
-    del block
     fns = [_OPS[o] for o in ops]
 
     def combine(a, b):

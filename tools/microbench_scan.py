@@ -86,6 +86,7 @@ def main():
             return big if o == "min" else -big
 
         Nn = start_.shape[0]
+        assert Nn % B == 0, f"N={Nn} must be divisible by block B={B}"
         G = Nn // B
         xb = tuple(x.reshape(G, B) for x in (start_, *tuple(fields_)))
         s1 = jax.lax.associative_scan(combine, xb, axis=1)
