@@ -209,6 +209,9 @@ class WalkConfig:
                 and self.guiding == "none":
             raise ValueError(f"run_type {self.run_type!r} requires a "
                              "guiding wavefunction (cfg.guiding)")
+        if self.proposal not in ("fast_heatbath", "uniform",
+                                 "cauchy_schwarz"):
+            raise ValueError(f"unknown proposal {self.proposal!r}")
 
     @property
     def nelec(self):
@@ -1069,8 +1072,10 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
 
     # ---------------- spawn slot allocation -------------------------------
     # one fused uniform draw for the parent-level + all per-slot streams
-    # (one PRNG dispatch instead of five)
-    n_cap_draws = 5 if cfg.run_type in ("partial_node", "sr") else 4
+    # (one PRNG dispatch instead of five); fast_heatbath adds a stream
+    # for the in-row alias slot (the hierarchical pair draw uses up_/ue)
+    n_cap_draws = 4 + (cfg.proposal == "fast_heatbath") \
+        + (cfg.run_type in ("partial_node", "sr"))
     u_all = jax.random.uniform(keys[1], (M + n_cap_draws * CAP,))
     u_spawn = u_all[:M]
     g = cfg.spawn_granularity
@@ -1128,6 +1133,9 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     ub = u_all[M:M + CAP]                       # branch
     up_ = u_all[M + CAP:M + 2 * CAP]            # pair / electron select
     ue = u_all[M + 2 * CAP:M + 3 * CAP]         # entry / orbital select
+    # fast_heatbath: in-row alias slot (the pair draw consumed up_/ue)
+    ur = u_all[M + 4 * CAP:M + 5 * CAP] \
+        if cfg.proposal == "fast_heatbath" else None
 
     b = parent
 
@@ -1155,71 +1163,99 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     # ---- proposal normalizations (slot level) ----
     bits_up_c = dets.to_bits(up_w, norb)
     bits_dn_c = dets.to_bits(dn_w, norb)
-    occ_up_c = dets.occ_orbitals(bits_up_c, nup)
-    occ_dn_c = dets.occ_orbitals(bits_dn_c, ndn)
-
-    iu, ju = np.triu_indices(nup, k=1)
-    idn, jdn = np.triu_indices(ndn, k=1)
-    io, jo = np.meshgrid(np.arange(nup), np.arange(ndn), indexing="ij")
-    p_pair = jnp.concatenate([occ_up_c[:, iu], occ_dn_c[:, idn],
-                              occ_up_c[:, io.ravel()]], axis=1)  # [CAP, np]
-    q_pair = jnp.concatenate([occ_up_c[:, ju], occ_dn_c[:, jdn],
-                              occ_dn_c[:, jo.ravel()]], axis=1)
-    n_uu = len(iu)
-    n_dd = len(idn)
-    n_od = npairs - n_uu - n_dd
+    n2 = 2 * norb
     ntri_s = norb * (norb - 1) // 2
-    # [CAP, npairs] heat-bath rowsums via ONE spin-block MXU einsum chain
-    # over 2*norb spin-orbital one-hots: with R2 = [[R_s, R_o],
-    # [R_o^T, R_s]] augmented by the singles row-sum column,
-    # P = O2 R2 O2^T yields every pair block AND the per-electron singles
-    # rowsums in two batched matmuls (replacing per-spin-block einsums
-    # and, before those, per-element scalar gathers - 100 ms/step at
-    # M=600k; see tools/microbench_rowsum.py).
+    # [CAP, 2n] f32 spin-orbital occupancies: every selection cumulative
+    # below runs at ORBITAL level on these (round-4a) - no per-electron
+    # one-hots are ever materialized (the old O2 R2 O2^T einsum chain
+    # wrote ~900 MB/step of [CAP, ne, 2n] temporaries and lowered as
+    # convolutions; see PERF_NOTES round-4).
     # PRECISION NOTE (measured, tools/microbench_rowsum.py): the v5e MXU
-    # rounds the f32 table entries to bf16 at ANY precision setting on
-    # this backend - only pure-gather formulations return the exact f32
-    # entries, at 20-30x the cost.  The SELECTION arrays below are
-    # therefore bf16-quantized; unbiasedness does not rely on them being
-    # exact, because each channel's spawn WEIGHT divides by the realized
-    # selection cell and multiplies by the exact f32 alias normalization
-    # (see the fast_heatbath / singles corrections below) - quantization
-    # reshapes the proposal distribution, never the estimate.
-    occ2 = jnp.concatenate([occ_up_c, occ_dn_c + norb], axis=1)
-    O2 = jax.nn.one_hot(occ2, 2 * norb, dtype=jnp.float32)
+    # rounds f32 matmul operands to bf16 at ANY precision setting on
+    # this backend.  The SELECTION cumulatives below are therefore
+    # quantized; unbiasedness does not rely on them being exact, because
+    # each channel's spawn WEIGHT divides by the realized selection
+    # cells and multiplies by the exact f32 alias normalization (see the
+    # fast_heatbath / singles corrections below) - quantization reshapes
+    # the proposal distribution, never the estimate.
+    bits2 = jnp.concatenate([bits_up_c, bits_dn_c],
+                            axis=1).astype(jnp.float32)       # [CAP, 2n]
+    iota2 = jnp.arange(n2, dtype=jnp.int32)[None, :]
+
+    def sel_cell(rows, idx):
+        # realized quantized cumulative cell at a selected index (the
+        # probability the count-based draw actually used)
+        prev = jnp.concatenate(
+            [jnp.zeros((rows.shape[0], 1), rows.dtype), rows[:, :-1]],
+            axis=1)
+        return jnp.sum(jnp.where(iota2 == idx[:, None], rows - prev, 0.0),
+                       axis=1)
+
+    # singles rowsums at orbital level: occupied spin-orbital o carries
+    # weight u_rowsum[orb(o)] (identical distribution to the reference's
+    # per-electron draw; the cumulative cell is the realized probability
+    # for the singles S/diff correction)
+    if cfg.has_singles:
+        u2 = jnp.tile(tables.u_rowsum.astype(jnp.float32), 2)
+        sing_rows = prefix.cumsum_rows(bits2 * u2[None, :])   # [CAP, 2n]
+        utot_b = sing_rows[:, -1].astype(wdt)
+    else:
+        sing_rows = jnp.zeros((CAP, 1), jnp.float32)
+        utot_b = jnp.zeros(CAP)
+
     R2 = jnp.concatenate([
         jnp.concatenate([tables.hb_rs_dense, tables.hb_ro_dense], axis=1),
         jnp.concatenate([tables.hb_ro_dense.T, tables.hb_rs_dense], axis=1),
-    ], axis=0)
-    u2col = jnp.tile(tables.u_rowsum.astype(jnp.float32), 2)[:, None]
-    A2 = jnp.concatenate([R2, u2col], axis=1)                 # [2n, 2n+1]
-    G2 = jnp.einsum("mio,oq->miq", O2, A2)                    # [S,ne,2n+1]
-    P2 = jnp.einsum("miq,mjq->mij", G2[:, :, :2 * norb], O2)  # [S,ne,ne]
-    flat_pairs = np.concatenate(
-        [iu * nelec + ju, (nup + idn) * nelec + (nup + jdn),
-         io.ravel() * nelec + (nup + jo.ravel())]).astype(np.int32)
-    pr_rowsum = P2.reshape(CAP, nelec * nelec)[:, flat_pairs].astype(wdt)
-    if cfg.proposal == "uniform":
-        pr_weight = jnp.where(pr_rowsum > 0, 1.0, 0.0)
-    elif cfg.proposal == "cauchy_schwarz":
-        pr_weight = tables.cs_rowsum[p_pair] * tables.cs_rowsum[q_pair]
-    else:
-        pr_weight = pr_rowsum
-    # f32 proposal tables: the sampler stays internally consistent (the
-    # selection probability and the weight normalization both read the
-    # same f32 cumulative), so the only effect is an O(1e-7) relative
-    # reshaping of the in-row split - far below statistical resolution;
-    # f64 arithmetic is software-emulated on TPU and dominated this block
-    pair_rows = prefix.cumsum_rows(pr_weight.astype(jnp.float32))
-    w2_b = pair_rows[:, -1].astype(wdt)                       # [CAP]
+    ], axis=0)               # [2n, 2n] symmetric; R_s diagonal is zero
 
-    if cfg.has_singles:
-        # per-electron singles rowsums = the augmented column of G2
-        sing_rows = prefix.cumsum_rows(G2[:, :, -1])          # [CAP, ne]
-        utot_b = sing_rows[:, -1].astype(wdt)
+    if cfg.proposal == "fast_heatbath":
+        # Hierarchical pair selection (round-4a): first spin-orbital a ~
+        # marginal m_a = sum_occ_q R2[a, q] (ONE [CAP,2n] x [2n,2n]
+        # matmul - R2[a,a]=0 kills the self term), then b | a ~ R2[a, b]
+        # over occupied b from ONE gathered R2 row.  The realized
+        # unordered-pair probability is the two-path sum
+        #   p{a,b} = (cell_mu(a) cell_row_a(b)/S_a
+        #           + cell_mu(b) cell_row_b(a)/S_b) / M
+        # with every factor a realized quantized cumulative cell, so the
+        # exact-unbiasedness correction generalizes verbatim.  p{a,b} ~=
+        # 2 R2[a,b]/M: the heat-bath constant-spawn-magnitude property
+        # is preserved.  (Ref: the pair step of
+        # off_diagonal_move_chem_efficient_heatbath, chemistry.f90:5086.)
+        mu = jnp.einsum("mo,oq->mq", bits2, R2)               # [CAP, 2n]
+        mu_rows = prefix.cumsum_rows(mu * bits2)
+        m_tot = mu_rows[:, -1]
+        # every (i,j) ordered pair of distinct occupied spin-orbitals is
+        # counted once in m_tot, so the unordered total is half of it
+        w2_b = (0.5 * m_tot).astype(wdt)
     else:
-        sing_rows = jnp.zeros((CAP, 1))
-        utot_b = jnp.zeros(CAP)
+        # parity proposals (uniform / cauchy_schwarz): per-electron-pair
+        # weights via the one-hot einsum (these paths are reference
+        # cross-checks, not the production sampler)
+        occ_up_c = dets.occ_orbitals(bits_up_c, nup)
+        occ_dn_c = dets.occ_orbitals(bits_dn_c, ndn)
+        iu, ju = np.triu_indices(nup, k=1)
+        idn, jdn = np.triu_indices(ndn, k=1)
+        io, jo = np.meshgrid(np.arange(nup), np.arange(ndn), indexing="ij")
+        p_pair = jnp.concatenate([occ_up_c[:, iu], occ_dn_c[:, idn],
+                                  occ_up_c[:, io.ravel()]], axis=1)
+        q_pair = jnp.concatenate([occ_up_c[:, ju], occ_dn_c[:, jdn],
+                                  occ_dn_c[:, jo.ravel()]], axis=1)
+        n_uu = len(iu)
+        n_dd = len(idn)
+        occ2 = jnp.concatenate([occ_up_c, occ_dn_c + norb], axis=1)
+        O2 = jax.nn.one_hot(occ2, 2 * norb, dtype=jnp.float32)
+        G2 = jnp.einsum("mio,oq->miq", O2, R2)                # [S,ne,2n]
+        P2 = jnp.einsum("miq,mjq->mij", G2, O2)               # [S,ne,ne]
+        flat_pairs = np.concatenate(
+            [iu * nelec + ju, (nup + idn) * nelec + (nup + jdn),
+             io.ravel() * nelec + (nup + jo.ravel())]).astype(np.int32)
+        pr_rowsum = P2.reshape(CAP, nelec * nelec)[:, flat_pairs].astype(wdt)
+        if cfg.proposal == "uniform":
+            pr_weight = jnp.where(pr_rowsum > 0, 1.0, 0.0)
+        else:  # cauchy_schwarz
+            pr_weight = tables.cs_rowsum[p_pair] * tables.cs_rowsum[q_pair]
+        pair_rows = prefix.cumsum_rows(pr_weight.astype(jnp.float32))
+        w2_b = pair_rows[:, -1].astype(wdt)                   # [CAP]
     psing_b = jnp.where(utot_b + w2_b > 0, utot_b / (utot_b + w2_b), 0.0)
 
     if cfg.has_singles:
@@ -1228,21 +1264,63 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         take_single = jnp.zeros(CAP, bool)
 
     # ---- doubles path ----
-    # pair ~ row weights: count cumulative entries <= target (one
-    # contiguous row instead of a log2(npairs)-deep bisection)
-    targ = (up_ * w2_b).astype(jnp.float32)
-    pair_i = jnp.minimum(
-        jnp.sum(pair_rows <= targ[:, None], axis=1).astype(jnp.int32),
-        npairs - 1)
-    pq_sel = jnp.take_along_axis(
-        p_pair.astype(jnp.uint32) | (q_pair.astype(jnp.uint32) << 8),
-        pair_i[:, None], axis=1)[:, 0]
-    pp = (pq_sel & jnp.uint32(0xFF)).astype(jnp.int32)
-    qq = ((pq_sel >> 8) & jnp.uint32(0xFF)).astype(jnp.int32)
-    # pair kind is a function of the pair INDEX alone (uu block, then dd,
-    # then opposite-spin) - pure arithmetic, no [M, npairs] table
-    kk = jnp.where(pair_i < n_uu, 0,
-                   jnp.where(pair_i < n_uu + n_dd, 1, 2))
+    if cfg.proposal == "fast_heatbath":
+        # first spin-orbital a ~ marginal cumulative (count entries <=
+        # target: one contiguous row compare, no bisection)
+        targ1 = (up_ * m_tot).astype(jnp.float32)
+        o1 = jnp.minimum(
+            jnp.sum(mu_rows <= targ1[:, None], axis=1).astype(jnp.int32),
+            n2 - 1)
+        row1 = R2[o1] * bits2              # exact f32 row gather, masked
+        r1_rows = prefix.cumsum_rows(row1)
+        s1q = r1_rows[:, -1]
+        targ2 = (ue * s1q).astype(jnp.float32)
+        o2 = jnp.minimum(
+            jnp.sum(r1_rows <= targ2[:, None], axis=1).astype(jnp.int32),
+            n2 - 1)
+        # mirror path (b first, then a | b): its realized cells come from
+        # the same mu cumulative and the gathered row of b
+        row2 = R2[o2] * bits2
+        r2_rows = prefix.cumsum_rows(row2)
+        s2q = r2_rows[:, -1]
+        cell_mu1 = sel_cell(mu_rows, o1)
+        cell_mu2 = sel_cell(mu_rows, o2)
+        cell_12 = sel_cell(r1_rows, o2)    # p(b | a) numerator
+        cell_21 = sel_cell(r2_rows, o1)    # p(a | b) numerator
+        p_pair_q = (cell_mu1 * cell_12 / jnp.maximum(s1q, TINY)
+                    + cell_mu2 * cell_21 / jnp.maximum(s2q, TINY)) \
+            / jnp.maximum(m_tot, TINY)
+        pair_fail = (o1 == o2) | (m_tot <= 0) | (s1q <= 0) | (s2q <= 0) \
+            | (p_pair_q <= 0)
+        up1 = o1 < norb
+        up2 = o2 < norb
+        orb1 = jnp.where(up1, o1, o1 - norb)
+        orb2 = jnp.where(up2, o2, o2 - norb)
+        same_up_k = up1 & up2
+        kk = jnp.where(same_up_k, 0, jnp.where((~up1) & (~up2), 1, 2))
+        # opposite-spin pairs: pp = the UP orbital, qq = the DN orbital
+        # (the hb table's (r,s) orientation convention); same-spin pairs
+        # are canonicalized pp < qq
+        pp = jnp.where(kk == 2, jnp.where(up1, orb1, orb2),
+                       jnp.minimum(orb1, orb2))
+        qq = jnp.where(kk == 2, jnp.where(up1, orb2, orb1),
+                       jnp.maximum(orb1, orb2))
+    else:
+        # pair ~ row weights: count cumulative entries <= target
+        targ = (up_ * w2_b).astype(jnp.float32)
+        pair_i = jnp.minimum(
+            jnp.sum(pair_rows <= targ[:, None], axis=1).astype(jnp.int32),
+            npairs - 1)
+        pq_sel = jnp.take_along_axis(
+            p_pair.astype(jnp.uint32) | (q_pair.astype(jnp.uint32) << 8),
+            pair_i[:, None], axis=1)[:, 0]
+        pp = (pq_sel & jnp.uint32(0xFF)).astype(jnp.int32)
+        qq = ((pq_sel >> 8) & jnp.uint32(0xFF)).astype(jnp.int32)
+        # pair kind is a function of the pair INDEX alone (uu block, then
+        # dd, then opposite-spin) - pure arithmetic, no [M, npairs] table
+        kk = jnp.where(pair_i < n_uu, 0,
+                       jnp.where(pair_i < n_uu + n_dd, 1, 2))
+        same_up_k = kk == 0
     opp = kk == 2
     # per-slot row descriptors: the row id is recomputed elementwise from
     # the selected orbitals (no [M, npairs] row-id materialization), then
@@ -1266,7 +1344,7 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         # (the entry carries its own AND its partner's target value -
         # see WalkTables.hb_alias_pack).
         n_cat = tables.hb_alias_pack.shape[0]
-        slot = jnp.minimum((ue * ct).astype(jnp.int32),
+        slot = jnp.minimum((ur * ct).astype(jnp.int32),
                            jnp.maximum(ct - 1, 0))
         i0 = jnp.clip(st + slot, 0, n_cat - 1)
         e3 = tables.hb_alias_pack[i0]             # [CAP, 3] packed u32
@@ -1326,7 +1404,6 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         hi_ = jnp.maximum(a_pos, b_pos)
         return ((x >= lo_) & (x < hi_)).astype(jnp.int32)
 
-    same_up_k = kk == 0
     words_same = jnp.where(same_up_k[:, None], up_w, dn_w)
     wc_same = dets.count_below(words_same, pp, r)
     wc_same2 = dets.count_below(words_same, qq, s)
@@ -1347,26 +1424,22 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     h_signed_dbl = gamma_fac * val_tab
 
     if cfg.proposal == "fast_heatbath":
-        # p(pair, r, s) = (1-p_single) * |H| / W2tot exactly, so every
-        # accepted double has constant magnitude...
-        w_dbl = -tau * jnp.sign(h_signed_dbl) * w2_b / \
-            jnp.maximum(1.0 - psing_b, TINY)
-        # ...up to the exact-unbiasedness correction: the realized
-        # p(pair) is diff/W2tot with diff the (bf16-quantized, see the
-        # rowsum PRECISION NOTE) cumulative cell, while the in-row alias
-        # draw is normalized by the EXACT f32 rowsum S = hb_rowsum[row].
-        # Multiplying by S/diff makes E[spawn] = -tau*H*w exactly,
-        # independent of MXU rounding (without it every pair channel
-        # carries a systematic ~2^-9 misweight on TPU).
+        # p(spawn) = (1-p_single) * p{pair} * |H|/S_exact: the in-row
+        # alias draw is normalized by the EXACT f32 rowsum S_exact =
+        # hb_rowsum[row], while p{pair} is the realized two-path
+        # hierarchical probability built from the (possibly
+        # MXU-quantized, see the PRECISION NOTE above) cumulative cells
+        # the draw actually used.  Dividing by exactly that probability
+        # makes E[spawn] = -tau*H*w independent of matmul rounding (the
+        # round-3i exact-unbiasedness construction, generalized to the
+        # hierarchical pair draw; pinned by
+        # test_walk_quantized_selection_unbiased).  p{pair} ~= 2|R2|/M,
+        # so accepted doubles keep near-constant magnitude ~tau*W2tot.
         S_sel = S_exact.astype(wdt)   # rides the hb_row_scr gather above
-        row_prev = jnp.concatenate(
-            [jnp.zeros((CAP, 1), pair_rows.dtype), pair_rows[:, :-1]],
-            axis=1)
-        hit = jnp.arange(npairs, dtype=jnp.int32)[None, :] == \
-            pair_i[:, None]
-        diff_sel = jnp.sum(jnp.where(hit, pair_rows - row_prev, 0.0),
-                           axis=1).astype(wdt)
-        w_dbl = w_dbl * jnp.where(diff_sel > 0, S_sel / diff_sel, 1.0)
+        w_dbl = jnp.where(
+            pair_fail, 0.0,
+            -tau * jnp.sign(h_signed_dbl) * S_sel /
+            jnp.maximum((1.0 - psing_b) * p_pair_q.astype(wdt), TINY))
     else:
         prw_sel = jnp.take_along_axis(pr_weight,
                                       pair_i[:, None], axis=1)[:, 0]
@@ -1386,23 +1459,23 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
                                  dets.set_orb(dets.set_orb(dets.clear_orb(dets.clear_orb(dn_w, pp), qq), r), s)))
 
     # ---- singles path (chem) ----
-    occ_rows_all = jnp.concatenate([occ_up_c, occ_dn_c], axis=1)
-
-    def singles_at(uw, dw, utot_sl, ps_sl, sing_sl, occ_sl,
+    def singles_at(uw, dw, utot_sl, ps_sl, sing_sl,
                    bits_u_sl, bits_d_sl, slots_ue, slots_ua2, slots_up_):
         """Single-excitation proposals for a batch of slots, on the
-        slot-level det words / normalizations.  Returns
-        (up, dn, wt_factor, ok)."""
+        slot-level det words / normalizations.  The moved spin-orbital
+        is drawn at ORBITAL level from the [S, 2n] occupancy-masked
+        u_rowsum cumulative (same distribution as the reference's
+        per-electron draw - the index IS the orbital, no occ lookup).
+        Returns (up, dn, wt_factor, ok)."""
         utot_b = utot_sl
         ps_b = ps_sl
-        sing_rows = sing_sl                                   # [S, nelec]
-        occ_rows = occ_sl
+        sing_rows = sing_sl                                   # [S, 2n]
         targ_s = (slots_up_ * utot_b).astype(jnp.float32)
-        e_i = jnp.minimum(
+        o_s = jnp.minimum(
             jnp.sum(sing_rows <= targ_s[:, None], axis=1).astype(jnp.int32),
-            nelec - 1)
-        p_s = jnp.take_along_axis(occ_rows, e_i[:, None], axis=1)[:, 0]
-        e_up = e_i < nup
+            2 * norb - 1)
+        e_up = o_s < norb
+        p_s = jnp.where(e_up, o_s, o_s - norb)
         # target orbital ~ U[p_s, :] via per-row alias (ue: slot, ua2:
         # accept - ua2 is reused from the doubles branch; each slot takes
         # exactly one branch so the streams never interact)
@@ -1447,15 +1520,15 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         p_sel_sng = ps_b * u_sel / jnp.maximum(utot_b, TINY)
         w_s = -tau * h_sng / jnp.maximum(p_sel_sng, TINY)
         # exact-unbiasedness correction (see the fast_heatbath analog):
-        # realized p(electron) = diff/Utot from the bf16-quantized
+        # realized p(spin-orbital) = diff/Utot from the MXU-quantized
         # cumulative, while the alias target draw is normalized by the
         # exact row sum u_rowsum[p] - multiply by u_rowsum[p]/diff
         S_sng = tables.u_rowsum[p_s].astype(w_s.dtype)
         row_prev_s = jnp.concatenate(
             [jnp.zeros((sing_rows.shape[0], 1), sing_rows.dtype),
              sing_rows[:, :-1]], axis=1)
-        hit_s = jnp.arange(nelec, dtype=jnp.int32)[None, :] == \
-            e_i[:, None]
+        hit_s = jnp.arange(sing_rows.shape[1],
+                           dtype=jnp.int32)[None, :] == o_s[:, None]
         diff_sng = jnp.sum(jnp.where(hit_s, sing_rows - row_prev_s, 0.0),
                            axis=1).astype(w_s.dtype)
         w_s = w_s * jnp.where(diff_sng > 0, S_sng / diff_sng, 1.0)
@@ -1482,8 +1555,7 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         ic = jnp.clip(idx_s, 0, CAP - 1)
         c_up, c_dn, c_wt, c_ok = singles_at(
             up_w[ic], dn_w[ic], utot_b[ic], psing_b[ic], sing_rows[ic],
-            occ_rows_all[ic], bits_up_c[ic], bits_dn_c[ic],
-            ue[ic], ua2[ic], up_[ic])
+            bits_up_c[ic], bits_dn_c[ic], ue[ic], ua2[ic], up_[ic])
         c_ok = c_ok & live_s
         # scatter back by the UNCLIPPED source index (dead rows hold CAP
         # and are dropped - a clipped index would clobber slot CAP-1)
@@ -1499,7 +1571,7 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         sng_ok = sng_ok & take_single
     elif cfg.has_singles:
         sng_up, sng_dn, w_sng, sng_ok = singles_at(
-            up_w, dn_w, utot_b, psing_b, sing_rows, occ_rows_all,
+            up_w, dn_w, utot_b, psing_b, sing_rows,
             bits_up_c, bits_dn_c, ue, ua2, up_)
         overflow_s = jnp.asarray(False)
     else:
@@ -1579,7 +1651,7 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
             spawn_wt = jnp.where(viol, 0.0, spawn_wt)
         else:
             if cfg.run_type in ("partial_node", "sr"):
-                u5 = u_all[M + 4 * CAP:]
+                u5 = u_all[M + (n_cap_draws - 1) * CAP:]
                 redirect = viol & (u5 < cfg.partial_node_eps)
             elif cfg.run_type == "release_node":
                 redirect = viol & (state.step < cfg.release_step)
