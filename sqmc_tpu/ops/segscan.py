@@ -40,14 +40,18 @@ def seg_scan(fields, ops, start):
     names; start: [N] bool segment-start flags.  Returns the list of
     inclusive-scanned fields (same dtypes).
 
-    Deliberately flat (no blocked two-level evaluation): a within-block
-    scan + cross-block carry variant was A/B'd on v5e and LOST — the
-    flat fused scan measures ~0.04 ms at the bench's [720k] x 6 fields
-    (XLA fuses the log-depth slice chain), the blocked forms 0.05-8 ms
-    (tools/microbench_scan.py).  The 6.4 ms the device profile
-    attributes to this file's scan line is fused neighbor-op cost, not
-    the scan itself.
+    On TPU with all-32-bit fields this dispatches to the single-pass
+    Pallas kernel (ops/pscan.py): 1.28 ms vs 6.88 ms for the XLA
+    log-depth slice chain at the bench's [720k] x 6 standalone (round-4
+    measurement; the earlier microbench_scan 0.04 ms figure measured a
+    fully-fused surrogate, not this op in isolation).  Sum fields scan
+    in a different association order than the XLA path, so f32 group
+    sums may differ in the last ulp.  Off-TPU and for f64 fields the
+    XLA associative_scan below runs (Mosaic has no f64).
     """
+    from . import pscan
+    if pscan.supported(fields):
+        return pscan.seg_scan(tuple(fields), tuple(ops), start)
     fns = [_OPS[o] for o in ops]
 
     def combine(a, b):
