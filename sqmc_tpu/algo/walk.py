@@ -120,6 +120,19 @@ class WalkConfig:
     # escalation path.
     cap_single: int = 0
 
+    # initiator combine rule inside the annihilation merge.  "group_max"
+    # (default): a merged group's initiator is the max over its rows —
+    # the order-independent alternative the reference itself suggests in
+    # a comment (do_walk.f90:5898-5900).  "sequential": the reference's
+    # ACTUAL order-dependent pairwise rule (:5897-5950): same-sign pair
+    # -> max; opposite-sign pair -> the initiator follows the sign-
+    # winning walker (|acc| < |row| takes the row's value; a tie zeroes
+    # it; a permanent initiator, code 3, is never demoted).  Sequential
+    # mode serializes the merge with an O(N) lax.scan —
+    # it exists to MEASURE the bias difference between the two semantics
+    # (tools/ab_initiator_rule.py), not for production throughput.
+    initiator_rule: str = "group_max"
+
     # f32-state runs materialize the D-space off-diagonal projection as a
     # DENSE [n_imp, n_imp] f32 matrix when n_imp is at most this (1 GB at
     # 16384): the matvec streams the matrix at HBM bandwidth on the MXU
@@ -157,14 +170,32 @@ class WalkConfig:
     # uniform total-rate bound |H_off| = nup*ndn*(norb-nup)*U/norb, with
     # the deterministic-diagonal variant (parents take the exact
     # exp(tau(E_T - H_ii)) factor; do_walk.f90:3838 deterministic_diagonal).
-    # Momentum-space Hubbard only (the reference's supported case: its
-    # H_off bound and unit |H_ij|/rate jump factors are hubbardk-specific);
-    # requires semistochastic=False (the reference skips the deterministic
+    # Requires semistochastic=False (the reference skips the deterministic
     # projection in this mode, do_walk.f90:2255).  No time-step error: the
     # TPU chain is a bounded unrolled scan of ct_max_jumps moves (chains
-    # longer than that are zeroed; P(>12 jumps) < 1e-9 at tau*|H_off| <= 1).
+    # longer than that are zeroed; P(>12 jumps) < 1e-9 at tau*rate <= 1 -
+    # raise ct_max_jumps when tau*ct_rate is larger).
     use_exponential_projector: bool = False
     ct_max_jumps: int = 12
+    # which CT jump move runs (static; build_walk_tables validates it
+    # against the system).  The reference only ever RAN hubbardk here -
+    # its rate bound and diagonal calls are hubbardk-hardwired even
+    # though the move dispatch nominally lists chem/heg
+    # (do_walk.f90:3849, :3910, :3931) - so "heg" and "generic" go
+    # beyond the reference:
+    #   "hubbardk": uniform (e_up, e_dn, r) moves, s by momentum
+    #     conservation, unit jump factors (all |H_ij| equal).
+    #   "heg": uniform electron pair (uu/dd/ud) + r, s by momentum
+    #     conservation, per-jump factor -H_ij/(rate * p(j|i)) with the
+    #     EXACT analytic element (thinning: unbiased for ANY rate > 0;
+    #     the rate only controls variance).
+    #   "generic": chem-like - uniform singles + doubles over all
+    #     orbital cells, exact signed elements; symmetry-forbidden or
+    #     occupied targets kill the chain (variance, never bias).
+    # "heg"/"generic" rates are ct_rate_mult * sum_j |H_hf,j| (the HF
+    # row's off-diagonal mass, computed at table build).
+    ct_mode: str = "hubbardk"
+    ct_rate_mult: float = 1.5
     # projector variant (ref run_type dispatch do_walk.f90:38-50; move
     # variants :3460-4748).  'none'/'no_fixed_node' = exact signed
     # projector (plain FCIQMC); the fixed-node family applies per-spawn
@@ -357,6 +388,22 @@ TINY = 1e-30
 # ---------------------------------------------------------------------------
 # Table construction (host)
 # ---------------------------------------------------------------------------
+
+def _hf_offdiag_mass(system) -> float:
+    """sum_j |H_hf,j| over the HF det's connections: the CT jump rate
+    scale for the heg/generic exponential-projector modes.  Any rate > 0
+    is unbiased (the per-jump factor divides by rate * p(j|i)); this is
+    the natural scale that keeps factors O(1)."""
+    from .connect import generate_connections
+    up = np.atleast_2d(np.asarray(system.hf_up))
+    dn = np.atleast_2d(np.asarray(system.hf_dn))
+    _, _, helem, _ = generate_connections(system, up, dn, np.zeros(1))
+    mass = float(np.abs(helem).sum())
+    if mass <= 0.0:
+        raise ValueError("HF det has no off-diagonal connections - "
+                         "cannot scale the CT jump rate")
+    return mass
+
 
 def build_walk_tables(system, trial, guide=None, cfg=None) -> WalkTables:
     """Assemble device tables from a FermionSystem + TrialWavefunction.
@@ -618,18 +665,62 @@ def build_walk_tables(system, trial, guide=None, cfg=None) -> WalkTables:
     kmap3 = np.zeros(1, np.int32)
     ct_rate = 0.0
     if cfg is not None and getattr(cfg, "use_exponential_projector", False):
-        if getattr(system, "name", "") != "hubbardk":
-            raise NotImplementedError(
-                "use_exponential_projector: momentum-space Hubbard only "
-                "(the reference's supported case, do_walk.f90:3849)")
+        sysname = getattr(system, "name", "")
         if cfg.semistochastic:
             raise ValueError(
                 "use_exponential_projector requires semistochastic=False "
                 "(ref skips the deterministic projection, do_walk.f90:2255)")
-        if cfg.run_type not in ("none", "no_fixed_node") or cfg.has_singles:
+        if cfg.run_type not in ("none", "no_fixed_node"):
             raise NotImplementedError(
                 "use_exponential_projector supports the plain signed "
-                "projector on the doubles-only hubbardk walk")
+                "projector only")
+        if getattr(cfg, "time_sym", False):
+            raise NotImplementedError(
+                "use_exponential_projector runs in the plain det basis "
+                "(no time-reversal symmetrization)")
+        mode = getattr(cfg, "ct_mode", "hubbardk")
+        if mode == "hubbardk":
+            if sysname != "hubbardk":
+                raise NotImplementedError(
+                    "ct_mode='hubbardk' needs a momentum-space Hubbard "
+                    "system; set ct_mode='heg' or 'generic' for this one "
+                    "(WalkConfig.ct_mode)")
+            if cfg.has_singles:
+                raise NotImplementedError(
+                    "ct_mode='hubbardk' is the doubles-only uniform walk")
+        elif mode == "heg":
+            if sysname != "heg":
+                raise NotImplementedError(
+                    "ct_mode='heg' needs the HEG system (momentum-"
+                    "conserving doubles with analytic elements)")
+            if cfg.nup < 1 or cfg.ndn < 1 or cfg.nelec < 2:
+                raise ValueError("ct_mode='heg' needs >=1 electron of "
+                                 "each spin")
+            # exact momentum map WITHOUT periodic folding (no umklapp in
+            # the HEG): s with k_s = k_p + k_q - k_r, -1 when outside the
+            # cutoff sphere (such proposals kill the chain)
+            rel = np.asarray(system.extra["k_rel"], np.int64)
+            lut = {tuple(v): i for i, v in enumerate(rel.tolist())}
+            ks = (rel[:, None, None, :] + rel[None, :, None, :]
+                  - rel[None, None, :, :]).reshape(-1, rel.shape[1])
+            kmap3 = np.fromiter(
+                (lut.get(tuple(v), -1) for v in ks.tolist()),
+                np.int32, count=len(ks))
+            ct_rate = cfg.ct_rate_mult * _hf_offdiag_mass(system)
+        elif mode == "generic":
+            if sysname in ("hubbardk", "hubbard2", "hubbarddm"):
+                raise NotImplementedError(
+                    "ct_mode='generic' covers det systems with chem-style "
+                    "integral tables (chem/heg/toy); hubbardk has its own "
+                    "mode and real-space Hubbard is unsupported")
+            if cfg.nup < 1 or cfg.ndn < 1 or cfg.nelec < 2:
+                raise ValueError("ct_mode='generic' needs >=1 electron "
+                                 "of each spin")
+            ct_rate = cfg.ct_rate_mult * _hf_offdiag_mass(system)
+        else:
+            raise ValueError(f"unknown ct_mode {mode!r}")
+    if (cfg is not None and getattr(cfg, "use_exponential_projector", False)
+            and cfg.ct_mode == "hubbardk"):
         ex = system.extra
         rel = np.asarray(ex["k_rel"], np.int64)
         lx, ly = int(ex["l_x"]), int(ex["l_y"])
@@ -907,19 +998,25 @@ def _fill_fresh(cfg, tables, up, dn, diag, ct, need):
 def _ct_chain(cfg, tables, state, b, slot_valid, key, tau, e_trial):
     """Continuous-time off-diagonal chains for the exponential projector
     (ref: move_uniform_exponential_projector do_walk.f90:3803, the
-    deterministic_diagonal variant).
+    deterministic_diagonal variant; the heg/generic modes go BEYOND the
+    reference, whose rate bound and diagonals are hubbardk-hardwired -
+    see WalkConfig.ct_mode).
 
     Per spawn slot (parent walker b[slot]): starting at the parent det,
-    sample jump times from the exponential distribution at the uniform
-    total rate |H_off| (first jump time wrapped mod tau - the conditioning
-    factor 1-exp(-tau|H_off|) is already in the child weight) and chain
-    uniform (e_up, e_dn, r-unoccupied-up) moves, s fixed by momentum
-    conservation, until the measurement time tau.  Each segment of length
-    dt at det i contributes exp(dt*(E_T - H_ii + |H_off|)) (the +|H_off|
-    cancels the sampling density); each jump contributes -H_ij/lambda_slot
-    = -sign(H_ij) (hubbardk: all |H_ij| = U/N = |H_off|/n_slots); a jump
-    onto an occupied target zeroes the chain (the uniform bound
-    overcounts; zero-weight chains keep it unbiased).
+    sample jump times from the exponential distribution at total rate
+    ``tables.ct_rate`` (first jump time wrapped mod tau - the
+    conditioning factor 1-exp(-tau*rate) is already in the child weight)
+    and chain proposal moves until the measurement time tau.  Each
+    segment of length dt at det i contributes exp(dt*(E_T - H_ii +
+    rate)) (the +rate cancels the sampling density); each jump to det j
+    proposed with probability p(j|i) contributes -H_ij/(rate * p(j|i))
+    (thinning identity: exact in expectation for ANY rate > 0 and any
+    proposal whose support covers the connected space - the rate and
+    proposal only shape the variance).  hubbardk mode: uniform
+    (e_up, e_dn, r) moves with s by momentum conservation, where
+    |H_ij| = U/N uniformly so the factor reduces to -sign(H_ij).
+    Invalid proposals (occupied target, outside-cutoff momentum,
+    symmetry-zero element) zero the chain - variance, never bias.
 
     Returns (up [S,W], dn [S,W], f [S] f64 chain factor, ok [S] bool).
     """
@@ -932,6 +1029,7 @@ def _ct_chain(cfg, tables, state, b, slot_valid, key, tau, e_trial):
     f = jnp.where(slot_valid, 1.0, 0.0)
     t = jnp.zeros(S)
     done = ~slot_valid
+    sl = jnp.arange(S)
 
     def in_window(x, a_pos, b_pos):
         lo_ = jnp.minimum(a_pos, b_pos)
@@ -940,8 +1038,8 @@ def _ct_chain(cfg, tables, state, b, slot_valid, key, tau, e_trial):
 
     for i in range(cfg.ct_max_jumps):
         k_i = jax.random.fold_in(key, i)
-        u4 = jax.random.uniform(k_i, (4, S))
-        t_inc = -jnp.log(jnp.maximum(u4[0], TINY)) / rate
+        u6 = jax.random.uniform(k_i, (6, S))
+        t_inc = -jnp.log(jnp.maximum(u6[0], TINY)) / rate
         if i == 0:
             t_inc = jnp.mod(t_inc, tau)   # conditioned on >=1 jump
         t_new = t + t_inc
@@ -953,38 +1051,157 @@ def _ct_chain(cfg, tables, state, b, slot_valid, key, tau, e_trial):
         seg = jnp.where(cross, tau - t, t_inc)
         seg_f = jnp.exp(seg * (e_trial - diag_cur + rate))
 
-        # uniform jump: occupied up electron, occupied dn electron,
-        # unoccupied-up target r; s = k_p + k_q - k_r (umklapp folded)
-        occ_u = dets.occ_orbitals(bits_cu, nup)
-        occ_d = dets.occ_orbitals(bits_cd, ndn)
-        unocc_u = dets.occ_orbitals(1 - bits_cu, norb - nup)
-        sl = jnp.arange(S)
-        p = occ_u[sl, jnp.minimum((u4[1] * nup).astype(jnp.int32), nup - 1)]
-        q = occ_d[sl, jnp.minimum((u4[2] * ndn).astype(jnp.int32), ndn - 1)]
-        r = unocc_u[sl, jnp.minimum((u4[3] * (norb - nup)).astype(jnp.int32),
-                                    norb - nup - 1)]
-        s = tables.kmap3[(p * norb + q) * norb + r]
-        s_occ = dets.get_orb(cd, s)
-        cu_cnt = dets.count_below(cu, p, r) - in_window(p, p, r)
-        cd_cnt = dets.count_below(cd, q, s) - in_window(q, q, s)
-        gamma = jnp.where((cu_cnt + cd_cnt) % 2 == 0, 1.0, -1.0)
-        jump_f = jnp.where(s_occ, 0.0, -gamma)
+        if cfg.ct_mode == "hubbardk":
+            # uniform jump: occupied up electron, occupied dn electron,
+            # unoccupied-up target r; s = k_p + k_q - k_r (umklapp
+            # folded); all |H_ij| = U/N = rate/n_slots so the thinning
+            # factor is -sign(H_ij)
+            occ_u = dets.occ_orbitals(bits_cu, nup)
+            occ_d = dets.occ_orbitals(bits_cd, ndn)
+            unocc_u = dets.occ_orbitals(1 - bits_cu, norb - nup)
+            p = occ_u[sl, jnp.minimum((u6[1] * nup).astype(jnp.int32),
+                                      nup - 1)]
+            q = occ_d[sl, jnp.minimum((u6[2] * ndn).astype(jnp.int32),
+                                      ndn - 1)]
+            r = unocc_u[sl, jnp.minimum(
+                (u6[3] * (norb - nup)).astype(jnp.int32), norb - nup - 1)]
+            s = tables.kmap3[(p * norb + q) * norb + r]
+            s_occ = dets.get_orb(cd, s)
+            cu_cnt = dets.count_below(cu, p, r) - in_window(p, p, r)
+            cd_cnt = dets.count_below(cd, q, s) - in_window(q, q, s)
+            gamma = jnp.where((cu_cnt + cd_cnt) % 2 == 0, 1.0, -1.0)
+            jump_f = jnp.where(s_occ, 0.0, -gamma)
+            nxt_up = dets.set_orb(dets.clear_orb(cu, p), r)
+            nxt_dn = dets.set_orb(dets.clear_orb(cd, q), s)
+        else:
+            jump_f, nxt_up, nxt_dn = _ct_jump_move(
+                cfg, tables, cu, cd, bits_cu, bits_cd, u6, sl)
 
         act = ~done
+        dead = jump_f == 0.0
         f = jnp.where(act, f * seg_f * jnp.where(cross, 1.0, jump_f), f)
-        jumped = act & ~cross & ~s_occ
-        cu = jnp.where(jumped[:, None],
-                       dets.set_orb(dets.clear_orb(cu, p), r), cu)
-        cd = jnp.where(jumped[:, None],
-                       dets.set_orb(dets.clear_orb(cd, q), s), cd)
+        jumped = act & ~cross & ~dead
+        cu = jnp.where(jumped[:, None], nxt_up, cu)
+        cd = jnp.where(jumped[:, None], nxt_dn, cd)
         t = jnp.where(act, t_new, t)
-        done = done | (act & (cross | s_occ))
+        done = done | (act & (cross | dead))
 
     # chains still running after ct_max_jumps are zeroed (negligible:
     # P(>K jumps) ~ Pois(tau*rate) tail; see WalkConfig.ct_max_jumps)
     f = jnp.where(done, f, 0.0)
     ok = slot_valid & (f != 0.0)
     return cu, cd, f, ok
+
+
+def _ct_jump_move(cfg, tables, cu, cd, bits_cu, bits_cd, u6, sl):
+    """One proposed CT jump for the heg/generic modes (see _ct_chain).
+
+    Proposal: with probability Ps (generic + has_singles only,
+    Ps = n_s/(n_s + n_d) over the uniform cell counts) a single
+    excitation (electron uniform over ne, target orbital uniform over
+    norb); otherwise a double: ORDERED electron pair (e1 uniform over
+    ne, e2 uniform over the rest), target r for e1's spin uniform over
+    norb, and s for e2's spin from momentum conservation (heg:
+    tables.kmap3, -1 = outside cutoff) or uniform over norb (generic).
+    p(j|i) counts all orderings that reach j: same-spin doubles 4 ways
+    ((e1,e2) swap x (r,s) swap; heg momentum: the r-draw picks either
+    target), mixed doubles 2 ways, singles 1.  The returned factor is
+    -H_ij/(rate * p(j|i)) with the EXACT signed element, or 0 for
+    invalid/forbidden proposals (occupied target, r==s same-spin,
+    outside-cutoff momentum, symmetry-zero element) - such chains die
+    unbiasedly.
+    """
+    norb = cfg.norb
+    nup, ndn = cfg.nup, cfg.ndn
+    ne = nup + ndn
+    rate = tables.ct_rate
+    heg_mode = cfg.ct_mode == "heg"
+
+    occ_u = dets.occ_orbitals(bits_cu, nup)            # [S, nup]
+    occ_d = dets.occ_orbitals(bits_cd, ndn)            # [S, ndn]
+
+    # ---- category (static probability) ----
+    n_pairs_ord = ne * (ne - 1)                        # ordered pairs
+    if cfg.has_singles and not heg_mode:
+        n_s_cells = ne * norb
+        n_d_cells = (n_pairs_ord // 2) * norb * norb
+        p_single = n_s_cells / (n_s_cells + n_d_cells)
+    else:
+        p_single = 0.0
+    take_single = u6[1] < p_single
+
+    # ---- electron draws (fused list: up 0..nup-1, dn nup..ne-1) ----
+    e1 = jnp.minimum((u6[2] * ne).astype(jnp.int32), ne - 1)
+    e2r = jnp.minimum((u6[3] * (ne - 1)).astype(jnp.int32), ne - 2)
+    e2 = e2r + (e2r >= e1).astype(jnp.int32)
+    up1 = e1 < nup
+    up2 = e2 < nup
+    orb1 = jnp.where(up1, occ_u[sl, jnp.clip(e1, 0, nup - 1)],
+                     occ_d[sl, jnp.clip(e1 - nup, 0, ndn - 1)])
+    orb2 = jnp.where(up2, occ_u[sl, jnp.clip(e2, 0, nup - 1)],
+                     occ_d[sl, jnp.clip(e2 - nup, 0, ndn - 1)])
+
+    r = jnp.minimum((u6[4] * norb).astype(jnp.int32), norb - 1)
+    if heg_mode:
+        s = tables.kmap3[(orb1 * norb + orb2) * norb + r]
+        s_ok = s >= 0
+        s_c = jnp.clip(s, 0, norb - 1)
+    else:
+        s_c = jnp.minimum((u6[5] * norb).astype(jnp.int32), norb - 1)
+        s_ok = jnp.ones_like(r, bool)
+
+    same_spin = up1 == up2
+    occ_r = jnp.where(up1, dets.get_orb(cu, r), dets.get_orb(cd, r))
+    occ_s = jnp.where(up2, dets.get_orb(cu, s_c), dets.get_orb(cd, s_c))
+    dbl_ok = s_ok & ~occ_r & ~occ_s & ~(same_spin & (r == s_c))
+
+    # ---- double element (exact, signed) ----
+    pl, ph = jnp.minimum(orb1, orb2), jnp.maximum(orb1, orb2)
+    rl, rh = jnp.minimum(r, s_c), jnp.maximum(r, s_c)
+    bits_same = jnp.where(up1[:, None], bits_cu, bits_cd)
+    h_same = slater.double_same_spin(tables.table, bits_same, pl, ph, rl, rh)
+    p_up = jnp.where(up1, orb1, orb2)
+    q_dn = jnp.where(up1, orb2, orb1)
+    r_up = jnp.where(up1, r, s_c)
+    s_dn = jnp.where(up1, s_c, r)
+    h_mix = slater.double_opposite_spin(tables.table, bits_cu, bits_cd,
+                                        p_up, r_up, q_dn, s_dn)
+    h_dbl = jnp.where(same_spin, h_same, h_mix)
+    # p(j|i), doubles: ordered-pair prob 1/n_pairs_ord per ordering
+    inv_ord = 1.0 / n_pairs_ord
+    if heg_mode:
+        p_dbl = jnp.where(same_spin, 4.0, 2.0) * inv_ord / norb
+    else:
+        p_dbl = (1.0 - p_single) * jnp.where(same_spin, 4.0, 2.0) \
+            * inv_ord / (norb * norb)
+    f_dbl = jnp.where(dbl_ok, -h_dbl / (rate * p_dbl), 0.0)
+    du = jnp.where(up1[:, None], dets.set_orb(dets.clear_orb(cu, orb1), r),
+                   cu)
+    du = jnp.where(up2[:, None], dets.set_orb(dets.clear_orb(du, orb2), s_c),
+                   du)
+    dd = jnp.where(~up1[:, None], dets.set_orb(dets.clear_orb(cd, orb1), r),
+                   cd)
+    dd = jnp.where(~up2[:, None], dets.set_orb(dets.clear_orb(dd, orb2), s_c),
+                   dd)
+
+    if p_single > 0.0:
+        # ---- single element (electron e1 -> r) ----
+        sng_ok = ~occ_r
+        bits_other = jnp.where(up1[:, None], bits_cd, bits_cu)
+        h_sng = slater.single_element(tables.table, bits_same, bits_other,
+                                      orb1, r)
+        p_sng = p_single / (ne * norb)
+        f_sng = jnp.where(sng_ok, -h_sng / (rate * p_sng), 0.0)
+        su = jnp.where(up1[:, None],
+                       dets.set_orb(dets.clear_orb(cu, orb1), r), cu)
+        sd = jnp.where(~up1[:, None],
+                       dets.set_orb(dets.clear_orb(cd, orb1), r), cd)
+        jump_f = jnp.where(take_single, f_sng, f_dbl)
+        nxt_up = jnp.where(take_single[:, None], su, du)
+        nxt_dn = jnp.where(take_single[:, None], sd, dd)
+    else:
+        jump_f, nxt_up, nxt_dn = f_dbl, du, dd
+    return jump_f, nxt_up, nxt_dn
 
 
 def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
@@ -1744,6 +1961,41 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
                           e_trial, key_comb=keys[6], out_ct=out_ct)
 
 
+def sequential_initiator_scan(neq, s_wt, init_row, wdt):
+    """The reference's ACTUAL order-dependent pairwise initiator combine
+    (merge_original_with_spawned2 do_walk.f90:5897-5950): walk each merge
+    group in sort order carrying (running weight, initiator); same-sign
+    pair -> max initiator, opposite-sign pair -> the initiator of the
+    sign-winning walker (exact cancellation -> 0), except a permanent
+    initiator (code 3, do_walk.f90:5938-5946 ``initiator.ne.3`` guards)
+    is never demoted.  Non-associative, so it cannot ride the fused
+    segmented scan; an O(N) lax.scan serializes the merge — measurement
+    mode only (WalkConfig.initiator_rule "sequential"; A/B vs the
+    order-independent group-max default in tools/ab_initiator_rule.py).
+
+    neq: [N] bool group-start flags (sorted row i starts a new det group);
+    s_wt: [N] wdt signed row weights; init_row: [N] i32 per-row initiator
+    flags.  Returns the [N] running-initiator scan; a group's merged
+    initiator is its value at the group's END row.
+    """
+    def _seq(carry, x):
+        acc_w, acc_i = carry
+        st, w, ini = x
+        aw, ar = jnp.abs(acc_w), jnp.abs(w)
+        opp = jnp.where(ar > aw, ini, jnp.where(ar == aw, 0, acc_i))
+        opp = jnp.where(acc_i == 3, acc_i, opp)
+        new_i = jnp.where(acc_w * w > 0, jnp.maximum(acc_i, ini), opp)
+        new_w = acc_w + w
+        new_i = jnp.where(st, ini, new_i)
+        new_w = jnp.where(st, w, new_w)
+        return (new_w, new_i), new_i
+
+    _, seq_init = jax.lax.scan(
+        _seq, (jnp.zeros((), wdt), jnp.zeros((), jnp.int32)),
+        (neq, s_wt, init_row.astype(jnp.int32)))
+    return seq_init
+
+
 def _full_sort_merge(state, cfg, tables, key_red, alive, wt_par, diag,
                      ct_state, spawn_up, spawn_dn, spawn_wt, spawn_ok,
                      child_imp, child_init, overflow):
@@ -1862,6 +2114,8 @@ def _full_sort_merge(state, cfg, tables, key_red, alive, wt_par, diag,
     # partial sum is subtracted at the end row of every in-D group
     g_wt = jnp.where(sc_u == 0, sc_wt - sc_dwt, sc_wt)
     g_init = sc_init
+    if cfg.initiator_rule == "sequential":
+        g_init = sequential_initiator_scan(neq, s_wt, init_row, wdt)
     # group diag/ct: rows of one group are the same det, so any resident
     # row's value wins; all-spawn groups stay unknown (DIAG_UNKNOWN / -2)
     # and are evaluated in the compacted fresh pass below
