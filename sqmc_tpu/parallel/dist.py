@@ -59,6 +59,14 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), ("d",))
 
 
+# Measurement-only switch (tools/bench_sharded_mesh.py): when True, the
+# all_to_all exchange in route_spawns is skipped at TRACE time, so timing
+# the resulting program isolates the collective's cost.  The physics of
+# such a program is WRONG (spawns land on the wrong shard) — never set
+# this outside a timing A/B.
+_TIMING_NO_ALL_TO_ALL = False
+
+
 def route_spawns(axis_name: str, n_dev: int, owner: jnp.ndarray, valid,
                  arrays: dict):
     """Bucket spawn slots by owner and exchange over the mesh axis.
@@ -110,9 +118,10 @@ def route_spawns(axis_name: str, n_dev: int, owner: jnp.ndarray, valid,
 
     buf = jnp.zeros((CAP, packed.shape[1]), jnp.uint32)
     buf = buf.at[dest].set(packed[order], mode="drop")
-    buf = jax.lax.all_to_all(buf.reshape(n_dev, cap_loc, -1), axis_name,
-                             split_axis=0, concat_axis=0, tiled=False)
-    buf = buf.reshape(CAP, -1)
+    if not _TIMING_NO_ALL_TO_ALL:
+        buf = jax.lax.all_to_all(buf.reshape(n_dev, cap_loc, -1), axis_name,
+                                 split_axis=0, concat_axis=0, tiled=False)
+        buf = buf.reshape(CAP, -1)
 
     out = {}
     j = 0
