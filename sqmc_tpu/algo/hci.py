@@ -270,7 +270,16 @@ def run_hci(system, eps_var: float, eps_var_sched=None, n_states: int = 1,
 
         with phase("davidson", enabled=verbose):
             mv, f32_dev = None, False
-            if mesh is not None and H.n >= 200:
+            if (device_davidson and H.n >= 2000
+                    and (mesh is None or mesh.devices.size == 1)):
+                # on a single device the 128-slot row-block (block-ELL)
+                # matvec dominates the COO scatter-add sharded form
+                # (43 ms vs 8.1 s per matvec on the C2 88k-det H,
+                # tools/bench_variational_tpu) — prefer it whenever the
+                # mesh would not actually split the work
+                from ..ops.spmv_pallas import BlockEllSpmv
+                mv, f32_dev = BlockEllSpmv(H), True
+            elif mesh is not None and H.n >= 200:
                 from ..parallel.dist import make_sharded_matvec
                 mv = make_sharded_matvec(H, mesh)
             elif device_davidson and H.n >= 2000:

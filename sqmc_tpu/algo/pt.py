@@ -250,7 +250,8 @@ def do_pt(system, up, dn, wts, diag, var_energy: float, eps_var: float,
           eps_pt: float, eps_pt_big: float = -1.0, target_error: float = -1.0,
           n_mc: int = -1, n_max_connections: int = 40_000_000,
           seed: int = 0, verbose: bool = True,
-          eps_pt_big_energy: float | None = None, mesh=None):
+          eps_pt_big_energy: float | None = None, mesh=None,
+          max_pt_samples: int = 10 ** 6):
     """PT driver: deterministic if the estimated connection count fits,
     else semistochastic with an auto-chosen eps_pt_big
     (ref: hci.f90 do_pt:4148).
@@ -309,7 +310,8 @@ def do_pt(system, up, dn, wts, diag, var_energy: float, eps_var: float,
         target_error = 1e-4
     res = second_order_pt_alias(system, up, dn, wts, var_energy, eps_pt,
                                 eps_pt_big, n_mc, target_error, pt_big,
-                                seed=seed, verbose=verbose, mesh=mesh)
+                                seed=seed, verbose=verbose, mesh=mesh,
+                                max_samples=max_pt_samples)
     pt_total = pt_big + res.pt_diff
     if verbose:
         print(f"Variational energy={var_energy:26.9f}")

@@ -17,6 +17,21 @@ _t0_cpu = time.process_time()
 _last_wall = _t0_wall
 _last_cpu = _t0_cpu
 
+# Optional in-memory phase ledger (tag -> accumulated wall seconds), used
+# by the e2e timing tools to build phase tables without parsing stdout.
+_ledger: dict | None = None
+
+
+def start_ledger() -> None:
+    """Begin (or reset) ledger accumulation for subsequent phase() blocks."""
+    global _ledger
+    _ledger = {}
+
+
+def read_ledger() -> dict:
+    """Snapshot of accumulated {tag: wall_seconds} since start_ledger()."""
+    return dict(_ledger or {})
+
 
 def _mem_avail_mb() -> float:
     try:
@@ -46,8 +61,11 @@ def my_second(phase: str, tag: str, out=sys.stdout):
 def phase(tag: str, out=sys.stdout, enabled: bool = True):
     if enabled:
         my_second("BEG", tag, out)
+    t0 = time.time()
     try:
         yield
     finally:
+        if _ledger is not None:
+            _ledger[tag] = _ledger.get(tag, 0.0) + (time.time() - t0)
         if enabled:
             my_second("END", tag, out)
