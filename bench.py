@@ -157,7 +157,7 @@ def main():
                      nup=system.nup, ndn=system.ndn, n_words=system.n_words,
                      tau=2e-3, w_abs_target=200_000.0, has_singles=True,
                      spawn_granularity=2.0, min_wt=0.5, r_initiator=0.5,
-                     f32_state=True)
+                     f32_state=True, proj_bf16=True)
     # 25-step dispatches: the axon tunnel kills device dispatches that run
     # longer than ~2-4 min (PERF_NOTES "dispatch-length limit")
     out = run_walk(system, trial, cfg, nstep=25, nblk=16, nblk_eq=12,

@@ -43,9 +43,12 @@ def _diag_elements_np(table, up, dn, norb, batch=1 << 17,
     devs = list(devices) if devices is not None else [None]
     if devs[0] is not None:
         # round-robin batch dispatch across mesh devices (async; the
-        # device->host copies in the collection loop are the only syncs)
+        # device->host copies in the collection loop are the only syncs).
+        # Cap the per-dispatch batch: the bit-plane broadcast inside
+        # diag_elements is [W*64, batch, nelec]-shaped, so an uncapped
+        # split (12M external dets on a 1-device mesh) exceeds HBM
         tabs = [jax.device_put(table, d) for d in devs]
-        batch = max(4096, -(-len(up) // len(devs)))
+        batch = max(4096, min(batch, -(-len(up) // len(devs))))
     else:
         tabs = [table]
     out = np.empty(len(up))

@@ -68,6 +68,22 @@ class WalkConfig:
     reweight_factor_inv_max: float = 2.0
     semistochastic: bool = True
     has_singles: bool = True
+    # C(T)-in-D mixed estimator (WalkTables.ct_num_imp): valid ONLY when
+    # every C(T) det is deterministic (C(T) subset of D - true for
+    # FCI-solvable D spaces, NEVER for the flagship C2 trial where
+    # |C(T)|=674k >> |D|=12k).  Opt-in because it changes the estimator
+    # trace (each generation's (e_num, e_den) are evaluated on the step's
+    # INPUT state - the same sequence shifted by one generation), which
+    # would silently move digit-exact golden outputs.
+    ct_in_d: bool = False
+    # store the dense D-projection matrix in bfloat16 (half the HBM
+    # stream of the step's biggest single operand, [n_imp, n_imp]).  On
+    # the v5e MXU this is FREE precision-wise - the MXU rounds f32
+    # matmul operands to bf16 at any precision setting (measured,
+    # tools/microbench_rowsum.py; accumulation stays f32) - so TPU
+    # results are bitwise unchanged.  Off by default because on CPU it
+    # WOULD change the projection arithmetic (real f32 FMAs there).
+    proj_bf16: bool = False
     # spawning granularity: children are drawn per g units of |weight|
     # instead of per unit (g=1 reproduces the reference's one-child-per-
     # unit-weight resolution; larger g trades statistical efficiency for
@@ -318,6 +334,23 @@ class WalkTables(NamedTuple):
     ct_dn: jnp.ndarray
     ct_num: jnp.ndarray
     ct_den: jnp.ndarray
+    # C(T)-in-D estimator vectors ([n_imp] f64; [0] = inactive): when every
+    # Psi_T det is deterministic (true for the standard top-|c| trial
+    # construction), the mixed estimator reduces to two dots against the
+    # D-weight vector the exact projection already materializes, so the
+    # per-walker C(T) index, its fresh-det search, its merge-sort /
+    # segscan / rowpack planes, and the [M] num/den estimator gather all
+    # drop out of the step.  The per-generation energy trace is then
+    # evaluated on the step's INPUT state (= previous step's merged+
+    # reweighted output), i.e. shifted by one generation - and since the
+    # population control (e_est -> e_trial -> reweight, _finalize_step)
+    # consumes the estimator, the feedback loop sees each estimate one
+    # generation late: statistically equivalent control, NOT a bitwise
+    # trajectory match with the gather path (test_ct_in_d.py).  Gated by
+    # cfg.ct_in_d: valid only when C(T) is a subset of D (FCI-solvable D
+    # spaces; never the flagship C2 trial, |C(T)|=674k vs |D|=12k).
+    ct_num_imp: jnp.ndarray
+    ct_den_imp: jnp.ndarray
     # deterministic space (sorted, local shard) + row-complete symmetric
     # H COO: Hw[r] = sum vals * w[cols], diag included; cols index the
     # (all-gathered when sharded) D-space weight vector
@@ -738,6 +771,24 @@ def build_walk_tables(system, trial, guide=None, cfg=None) -> WalkTables:
         ct_rate = cfg.nup * cfg.ndn * (norb - cfg.nup) \
             * abs(float(ex["U"])) / norb
 
+    # C(T)-in-D estimator vectors (see WalkTables docstring): active when
+    # the run is semistochastic and every Psi_T det is found in D
+    ct_num_imp = np.zeros(0)
+    ct_den_imp = np.zeros(0)
+    if (n_imp > 0 and cfg is not None and cfg.semistochastic
+            and cfg.ct_in_d and len(trial.ct_up) > 0):
+        pos_ct = np.asarray(setalg.search_dets(
+            trial.imp_up, trial.imp_dn, trial.ct_up, trial.ct_dn))
+        if not np.all(pos_ct >= 0):
+            raise ValueError(
+                "ct_in_d=True requires every C(T) det in the deterministic "
+                f"space: {int((pos_ct < 0).sum())}/{len(pos_ct)} outside D "
+                "(the estimator would silently drop their contributions)")
+        ct_num_imp = np.zeros(n_imp)
+        ct_den_imp = np.zeros(n_imp)
+        ct_num_imp[pos_ct] = ct_num
+        ct_den_imp[pos_ct] = ct_den
+
     return WalkTables(
         hb_alias_pack=jnp.asarray(hb_alias_pack),
         hb_row_scr=jnp.asarray(hb_row_scr),
@@ -756,6 +807,8 @@ def build_walk_tables(system, trial, guide=None, cfg=None) -> WalkTables:
         ct_up=jnp.asarray(trial.ct_up), ct_dn=jnp.asarray(trial.ct_dn),
         ct_num=jnp.asarray(ct_num.astype(fdt)),
         ct_den=jnp.asarray(ct_den.astype(fdt)),
+        ct_num_imp=jnp.asarray(ct_num_imp),
+        ct_den_imp=jnp.asarray(ct_den_imp),
         imp_up=jnp.asarray(trial.imp_up), imp_dn=jnp.asarray(trial.imp_dn),
         imp_rows=jnp.asarray(r_all), imp_cols=jnp.asarray(c_all),
         imp_vals=jnp.asarray(v_all.astype(fdt)),
@@ -763,7 +816,9 @@ def build_walk_tables(system, trial, guide=None, cfg=None) -> WalkTables:
         imp_ell_vals=jnp.asarray(ell_vals.astype(fdt)),
         imp_ell_row=jnp.asarray(ell_row),
         imp_diag=jnp.asarray(imp_diag),
-        imp_dense=jnp.asarray(imp_dense),
+        imp_dense=(jnp.asarray(imp_dense).astype(jnp.bfloat16)
+                   if cfg is not None and cfg.proj_bf16
+                   else jnp.asarray(imp_dense)),
         guide=guide,
     )
 
@@ -958,12 +1013,14 @@ def _lexsort_walkers(up, dn, norb: int | None = None):
 # The step
 # ---------------------------------------------------------------------------
 
-def _fill_fresh(cfg, tables, up, dn, diag, ct, need):
+def _fill_fresh(cfg, tables, up, dn, diag, ct, need, with_ct: bool = True):
     """Compute diagonal elements + C(T)-cache indices for the rows flagged
     in `need`, through a cap_fresh-sized compaction buffer (PERF_NOTES
     ideas 2-3: every resident walker carries diag and ct, so the [M]
     diagonal evaluation and [M]-query C(T) search run only over fresh
-    determinants).  Returns (diag, ct, overflow)."""
+    determinants).  with_ct=False (C(T)-in-D estimator active): the index
+    plane is dead — skip its search and scatter, return ct unchanged.
+    Returns (diag, ct, overflow)."""
     M = up.shape[0]
     F = cfg.cap_fresh_eff
     norb = cfg.norb
@@ -989,9 +1046,11 @@ def _fill_fresh(cfg, tables, up, dn, diag, ct, need):
                                             fb_dn, fb_up)
         selfs = jnp.all(f_up == f_dn, axis=1)
         f_diag = f_diag + jnp.where(selfs, 0.0, cfg.z * cross)
-    f_ct = _searchsorted_dets(tables.ct_up, tables.ct_dn, f_up, f_dn, norb)
     diag = diag.at[fidx].set(f_diag.astype(diag.dtype), mode="drop")
-    ct = ct.at[fidx].set(f_ct, mode="drop")
+    if with_ct:
+        f_ct = _searchsorted_dets(tables.ct_up, tables.ct_dn, f_up, f_dn,
+                                  norb)
+        ct = ct.at[fidx].set(f_ct, mode="drop")
     return diag, ct, overflow
 
 
@@ -1256,8 +1315,13 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
         # deltaw = tau * (e_trial * w - H w), H row-complete incl. diagonal
         if tables.imp_dense.shape[0] > 0:
             # dense MXU matvec (f32-state, n_imp <= dense_proj_max): the
-            # [n,n] f32 matrix streams at HBM bandwidth - no gather at all
-            Hw_off = tables.imp_dense @ w_vec.astype(jnp.float32)
+            # [n,n] matrix streams at HBM bandwidth - no gather at all.
+            # cfg.proj_bf16 stores it bf16 (half the stream; bitwise-
+            # identical on the v5e MXU, which rounds f32 operands to
+            # bf16 anyway); accumulation stays f32 either way
+            Hw_off = jnp.matmul(tables.imp_dense,
+                                w_vec.astype(tables.imp_dense.dtype),
+                                preferred_element_type=jnp.float32)
             deltaw = tau * ((e_trial - tables.imp_diag) *
                             w_imp.astype(jnp.float64) -
                             Hw_off.astype(jnp.float64))
@@ -1283,8 +1347,21 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
                                      tables.imp_rows, num_segments=n_imp,
                                      indices_are_sorted=sorted_rows)
             deltaw = tau * (e_trial * w_imp - Hw)
+        if tables.ct_num_imp.shape[0] > 0:
+            # C(T)-in-D mixed estimator (WalkTables.ct_num_imp): this
+            # generation's (e_num, e_den) ride the D-weight vector as two
+            # dots — evaluated on the INPUT state (the previous
+            # generation's merged + reweighted output), i.e. the gather
+            # path's sequence shifted by one generation.  Sharded runs
+            # dot the local slice; _finalize_step psums with the other
+            # control scalars.
+            ct_dots = (jnp.dot(tables.ct_num_imp, w_imp.astype(jnp.float64)),
+                       jnp.dot(tables.ct_den_imp, w_imp.astype(jnp.float64)))
+        else:
+            ct_dots = None
     else:
         imp_pos = jnp.zeros(0, jnp.int32)
+        ct_dots = None
         deltaw = jnp.zeros(0)
 
     # ---------------- spawn slot allocation -------------------------------
@@ -1315,15 +1392,18 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     absw_sp = jnp.abs(sw)
     small = absw_sp < cfg.always_spawn_cutoff * g
     do_spawn_small = u_spawn < absw_sp / (cfg.always_spawn_cutoff * g)
+    # i32 throughout: counts are < CAP <= 2^19 and the cumsum already
+    # routes through i32, so the old int64 planes only bought emulated
+    # 32-bit-pair arithmetic on TPU (values identical, ~1 ms/step)
     nchild = jnp.where(small, jnp.where(do_spawn_small, 1, 0),
                        jnp.maximum(jnp.round(absw_sp / g),
-                                   1.0)).astype(jnp.int64)
+                                   1.0)).astype(jnp.int32)
     nchild = jnp.where(can_spawn, nchild, 0)
     wt_child = jnp.where(small,
                          jnp.sign(sw) * cfg.always_spawn_cutoff * g,
                          sw / jnp.maximum(nchild, 1))
 
-    cum_child = prefix.cumsum_i32(nchild.astype(jnp.int32)).astype(jnp.int64)
+    cum_child = prefix.cumsum_i32(nchild)
     total_spawn = cum_child[-1]
     off_child = cum_child - nchild
 
@@ -1334,7 +1414,7 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     # sort-based searchsorted(cum, t, 'right') form costs 7.2 ms vs 4.6 -
     # sorting [M+CAP] loses to a [CAP] scatter+scan here, unlike the det
     # searches below where queries are few and the list is large.)
-    t = jnp.arange(CAP, dtype=jnp.int64)
+    t = jnp.arange(CAP, dtype=jnp.int32)
     seed_par = jnp.full(CAP, -1, jnp.int32).at[
         jnp.clip(off_child, 0, CAP - 1)].max(
         jnp.arange(M, dtype=jnp.int32), mode="drop")
@@ -1913,11 +1993,14 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     # resident walkers always carry diag + ct (filled at init and for
     # fresh dets at merge time); the cond-guarded fill only fires for
     # states built without tables or resumed from old checkpoints
-    need = alive & ((state.diag > DIAG_UNKNOWN_THRESHOLD) | (state.ct == -2))
+    ct_free = tables.ct_num_imp.shape[0] > 0
+    need = alive & (state.diag > DIAG_UNKNOWN_THRESHOLD)
+    if not ct_free:
+        need = need | (alive & (state.ct == -2))
     diag, ct_state, fill_ovf = jax.lax.cond(
         jnp.any(need),
         lambda a: _fill_fresh(cfg, tables, state.up, state.dn,
-                              a[0], a[1], need),
+                              a[0], a[1], need, with_ct=not ct_free),
         lambda a: (a[0], a[1], jnp.asarray(False)),
         (state.diag, state.ct))
     overflow = overflow | fill_ovf
@@ -1948,7 +2031,7 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
                               out_init, out_imp, out_diag, nwalk_new,
                               overflow, total_spawn, spawn_wt, spawn_ok,
                               new_key, tau, e_trial, key_comb=keys[6],
-                              out_ct=out_ct)
+                              out_ct=out_ct, ct_dots=ct_dots)
 
     out = _full_sort_merge(state, cfg, tables, keys[5], alive, wt_par, diag,
                            ct_state, spawn_up, spawn_dn, spawn_wt, spawn_ok,
@@ -1958,7 +2041,8 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     return _finalize_step(state, tables, cfg, out_up, out_dn, out_wt,
                           out_init, out_imp, out_diag, nwalk_new, overflow,
                           total_spawn, spawn_wt, spawn_ok, new_key, tau,
-                          e_trial, key_comb=keys[6], out_ct=out_ct)
+                          e_trial, key_comb=keys[6], out_ct=out_ct,
+                          ct_dots=ct_dots)
 
 
 def sequential_initiator_scan(neq, s_wt, init_row, wdt):
@@ -2073,16 +2157,23 @@ def _full_sort_merge(state, cfg, tables, key_red, alive, wt_par, diag,
     # diag/ct caches ride the sort: resident rows carry their values,
     # spawn rows are unknown (DIAG_UNKNOWN / -2) and resolved per GROUP below
     all_diag = jnp.concatenate([diag, jnp.full(CS, DIAG_UNKNOWN, wdt)])
-    all_ct = jnp.concatenate([jnp.where(alive, ct_state, -1),
-                              jnp.full(CS, -2, jnp.int32)])
+    # C(T)-in-D estimator active (WalkTables.ct_num_imp): the per-walker
+    # C(T) index is dead — drop its sort operand, segscan value, and
+    # rowpack plane entirely
+    ct_free = tables.ct_num_imp.shape[0] > 0
+    if ct_free:
+        vals_in = (all_wt, all_flags, all_diag)
+    else:
+        all_ct = jnp.concatenate([jnp.where(alive, ct_state, -1),
+                                  jnp.full(CS, -2, jnp.int32)])
+        vals_in = (all_wt, all_flags, all_diag, all_ct)
 
-    sorted_ = jax.lax.sort((*all_keys, all_wt, all_flags, all_diag, all_ct),
-                           num_keys=nk)
+    sorted_ = jax.lax.sort((*all_keys, *vals_in), num_keys=nk)
     s_keys = sorted_[:nk]
     s_wt = sorted_[nk]
     s_flags = sorted_[nk + 1]
     s_diag = sorted_[nk + 2]
-    s_ct = sorted_[nk + 3]
+    s_ct = None if ct_free else sorted_[nk + 3]
 
     neq_t = s_keys[0][1:] != s_keys[0][:-1]
     for k in s_keys[1:]:
@@ -2105,10 +2196,16 @@ def _full_sort_merge(state, cfg, tables, key_red, alive, wt_par, diag,
     # weight are now the SAME wdt-exact segment sum (the old split f32
     # decision / f64 scatter-add is gone; only the summation ORDER of a
     # group differs from sequential: a tree reduction).
-    sc_u, sc_init, sc_wt, sc_dwt, sc_diag, sc_ct = segscan.seg_scan(
-        (u, init_row, s_wt,
-         jnp.where(code == 1, s_wt, jnp.zeros((), wdt)), s_diag, s_ct),
-        ("min", "max", "sum", "sum", "min", "max"), neq)
+    dwt_in = jnp.where(code == 1, s_wt, jnp.zeros((), wdt))
+    if ct_free:
+        sc_u, sc_init, sc_wt, sc_dwt, sc_diag = segscan.seg_scan(
+            (u, init_row, s_wt, dwt_in, s_diag),
+            ("min", "max", "sum", "sum", "min"), neq)
+        sc_ct = None
+    else:
+        sc_u, sc_init, sc_wt, sc_dwt, sc_diag, sc_ct = segscan.seg_scan(
+            (u, init_row, s_wt, dwt_in, s_diag, s_ct),
+            ("min", "max", "sum", "sum", "min", "max"), neq)
     g_u = sc_u
     # discard stochastic D->D spawns (ref merge rule :5947): their
     # partial sum is subtracted at the end row of every in-D group
@@ -2159,14 +2256,17 @@ def _full_sort_merge(state, cfg, tables, key_red, alive, wt_par, diag,
         rp.add(f"k{i}", k)
     rp.add("wt", g_wt)
     rp.add("p0", plane0)
-    rp.add("ct", g_ct)
+    if not ct_free:
+        rp.add("ct", g_ct)
     rp.add("diag", g_diag)
     src = jnp.zeros(M, jnp.int32).at[dest].set(
         jnp.arange(N, dtype=jnp.int32), mode="drop", unique_indices=True)
     rows = rowpack.gather_rows(rp.pack(), src)
-    tmpl = rp.defaults_row({**{f"k{i}": SENT for i in range(len(s_keys))},
-                            "wt": 0.0, "p0": (127 + 2) << 3, "ct": -1,
-                            "diag": DIAG_UNKNOWN})
+    defaults = {**{f"k{i}": SENT for i in range(len(s_keys))},
+                "wt": 0.0, "p0": (127 + 2) << 3, "diag": DIAG_UNKNOWN}
+    if not ct_free:
+        defaults["ct"] = -1
+    tmpl = rp.defaults_row(defaults)
     valid_out = jnp.arange(M, dtype=jnp.int32) < nwalk_new
     rows = jnp.where(valid_out[:, None], rows, tmpl[None, :])
 
@@ -2176,7 +2276,7 @@ def _full_sort_merge(state, cfg, tables, key_red, alive, wt_par, diag,
     out_rnd = (p0 & 1) != 0
     out_init = ((p0 >> 1) & 3).astype(jnp.int32)
     out_imp = ((p0 >> 3) & 255).astype(jnp.int32) - 2
-    out_ct = rp.unpack(rows, "ct")
+    out_ct = state.ct if ct_free else rp.unpack(rows, "ct")
     out_diag = rp.unpack(rows, "diag")
 
     out_wt = jnp.where(out_rnd, jnp.sign(out_wt_raw) * cfg.min_wt,
@@ -2194,11 +2294,15 @@ def _full_sort_merge(state, cfg, tables, key_red, alive, wt_par, diag,
                            axis=1)
 
     # diag/ct caches: group values land directly in the output (no
-    # [M]-into-[M] re-attach bisection); FRESH groups (all-spawn, ct==-2)
-    # are evaluated through the compacted buffer
-    fresh = out_ct == -2
+    # [M]-into-[M] re-attach bisection); FRESH groups (all-spawn, so
+    # diag==DIAG_UNKNOWN / ct==-2) are evaluated through the compacted
+    # buffer.  ct_free: only the diagonal needs filling, and freshness is
+    # read off the diag sentinel (set/repaired together with ct)
+    fresh = (out_diag > DIAG_UNKNOWN_THRESHOLD) if ct_free \
+        else (out_ct == -2)
     out_diag, out_ct, fresh_ovf = _fill_fresh(cfg, tables, out_up, out_dn,
-                                              out_diag, out_ct, fresh)
+                                              out_diag, out_ct, fresh,
+                                              with_ct=not ct_free)
     overflow = overflow | fresh_ovf
 
     return (out_up, out_dn, out_wt, out_init, out_imp, out_diag, out_ct,
@@ -2361,12 +2465,21 @@ def _two_level_merge(state, cfg, tables, keys, alive, wt_par, diag,
     out_diag = jnp.full(M, DIAG_UNKNOWN, wdt).at[
         dest_w].set(diag, mode="drop").at[
         dest_n].set(jnp.full(NEW, DIAG_UNKNOWN, wdt), mode="drop")
-    out_ct = jnp.full(M, -1, jnp.int32).at[dest_w].set(
-        jnp.where(alive, ct_state, -1), mode="drop").at[
-        dest_n].set(jnp.full(NEW, -2, jnp.int32), mode="drop")
+    if tables.ct_num_imp.shape[0] > 0:
+        # C(T)-in-D estimator active: the index plane is dead (see
+        # _full_sort_merge) — freshness reads the diag sentinel
+        out_ct = state.ct
+        fresh = out_diag > DIAG_UNKNOWN_THRESHOLD
+        with_ct = False
+    else:
+        out_ct = jnp.full(M, -1, jnp.int32).at[dest_w].set(
+            jnp.where(alive, ct_state, -1), mode="drop").at[
+            dest_n].set(jnp.full(NEW, -2, jnp.int32), mode="drop")
+        fresh = out_ct == -2
+        with_ct = True
     out_diag, out_ct, fresh_ovf = _fill_fresh(cfg, tables, out_up, out_dn,
-                                              out_diag, out_ct,
-                                              out_ct == -2)
+                                              out_diag, out_ct, fresh,
+                                              with_ct=with_ct)
     overflow = overflow | fresh_ovf
 
     return (out_up, out_dn, out_wt, out_init, out_imp, out_diag, out_ct,
@@ -2376,7 +2489,7 @@ def _two_level_merge(state, cfg, tables, keys, alive, wt_par, diag,
 def _finalize_step(state, tables, cfg, out_up, out_dn, out_wt, out_init,
                    out_imp, out_diag, nwalk_new, overflow, total_spawn,
                    spawn_wt, spawn_ok, new_key, tau, e_trial,
-                   key_comb=None, out_ct=None):
+                   key_comb=None, out_ct=None, ct_dots=None):
     # ---------------- stochastic reconfiguration (run_type sr) -------------
     if cfg.run_type == "sr":
         from .densewalk import _comb_reconfigure
@@ -2388,22 +2501,30 @@ def _finalize_step(state, tables, cfg, out_up, out_dn, out_wt, out_init,
     out_wt = out_wt * state.reweight_factor_inv.astype(out_wt.dtype)
 
     # ---------------- estimators -------------------------------------------
-    if out_ct is None:
-        # two-level-merge path: C(T) positions by search (the full-sort
-        # path carries them through the merge instead)
-        out_ct = _searchsorted_dets(tables.ct_up, tables.ct_dn, out_up,
-                                    out_dn, cfg.norb)
-    n_ct = tables.ct_num.shape[0]
-    safe_ct = jnp.clip(out_ct, 0, n_ct - 1)
-    match = out_ct >= 0
-    # (num, den) ride ONE packed row gather (two planar f64 gathers at
-    # [M] cost ~4 ms/step on v5e; one 16B-row gather ~1.5 ms)
-    ctnd = jnp.take(jnp.stack([tables.ct_num, tables.ct_den], axis=1),
-                    safe_ct, axis=0)
-    e_num_gen = jnp.sum(jnp.where(match, ctnd[:, 0] * out_wt,
-                                  0.0), dtype=jnp.float64)
-    e_den_gen = jnp.sum(jnp.where(match, ctnd[:, 1] * out_wt,
-                                  0.0), dtype=jnp.float64)
+    if ct_dots is not None:
+        # C(T)-in-D: the dots were computed at the top of the step from
+        # the D-weight vector the projection materializes (see
+        # WalkTables.ct_num_imp); out_ct is a dead pass-through plane
+        e_num_gen, e_den_gen = ct_dots
+        if out_ct is None:
+            out_ct = state.ct
+    else:
+        if out_ct is None:
+            # two-level-merge path: C(T) positions by search (the
+            # full-sort path carries them through the merge instead)
+            out_ct = _searchsorted_dets(tables.ct_up, tables.ct_dn, out_up,
+                                        out_dn, cfg.norb)
+        n_ct = tables.ct_num.shape[0]
+        safe_ct = jnp.clip(out_ct, 0, n_ct - 1)
+        match = out_ct >= 0
+        # (num, den) ride ONE packed row gather (two planar f64 gathers
+        # at [M] cost ~4 ms/step on v5e; one 16B-row gather ~1.5 ms)
+        ctnd = jnp.take(jnp.stack([tables.ct_num, tables.ct_den], axis=1),
+                        safe_ct, axis=0)
+        e_num_gen = jnp.sum(jnp.where(match, ctnd[:, 0] * out_wt,
+                                      0.0), dtype=jnp.float64)
+        e_den_gen = jnp.sum(jnp.where(match, ctnd[:, 1] * out_wt,
+                                      0.0), dtype=jnp.float64)
     w_abs_gen = jnp.sum(jnp.abs(out_wt), dtype=jnp.float64)
     nwalk_stat = nwalk_new
     if cfg.axis_name is not None:

@@ -465,8 +465,35 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
             np.add.at(imp_dense, (d * m_loc + rr[keep], cc[keep]),
                       vv[keep].astype(np.float32))
 
+    # C(T)-in-D estimator vectors follow the per-shard D ordering: each
+    # C(T) det is owned by exactly one shard (the subset check passed in
+    # build_walk_tables), so scatter its (num, den) at its local slot
+    ct_num_imp = np.zeros(0)
+    ct_den_imp = np.zeros(0)
+    if base.ct_num_imp.shape[0] > 0:
+        from ..ops import setalg as _setalg
+        ct_num_imp = np.zeros((n_dev, m_loc))
+        ct_den_imp = np.zeros((n_dev, m_loc))
+        num_g = np.asarray(base.ct_num_imp)
+        den_g = np.asarray(base.ct_den_imp)
+        # global position of each C(T) det (num/den were scattered there)
+        gpos = np.asarray(_setalg.search_dets(
+            trial.imp_up, trial.imp_dn,
+            np.asarray(base.ct_up), np.asarray(base.ct_dn)))
+        for d in range(n_dev):
+            lpos = np.asarray(_setalg.search_dets(
+                su[d], sd[d], np.asarray(base.ct_up), np.asarray(base.ct_dn)))
+            own = lpos >= 0
+            ct_num_imp[d, lpos[own]] = num_g[gpos[own]]
+            ct_den_imp[d, lpos[own]] = den_g[gpos[own]]
+        assert int((ct_num_imp != 0).sum()) == int((num_g != 0).sum())
+        ct_num_imp = ct_num_imp.reshape(-1)
+        ct_den_imp = ct_den_imp.reshape(-1)
+
     fdt = np.float32 if cfg.f32_state else np.float64
     tables = base._replace(
+        ct_num_imp=jnp.asarray(ct_num_imp),
+        ct_den_imp=jnp.asarray(ct_den_imp),
         imp_up=jnp.asarray(su.reshape(n_dev * m_loc, -1)),
         imp_dn=jnp.asarray(sd.reshape(n_dev * m_loc, -1)),
         imp_rows=jnp.asarray(rows.reshape(-1)),
@@ -476,7 +503,8 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
         imp_ell_vals=jnp.asarray(e_vals.reshape(-1).astype(fdt)),
         imp_ell_row=jnp.asarray(e_row.reshape(-1)),
         imp_diag=jnp.asarray(e_diag.reshape(-1)),
-        imp_dense=jnp.asarray(imp_dense),
+        imp_dense=(jnp.asarray(imp_dense).astype(jnp.bfloat16)
+                   if cfg.proj_bf16 else jnp.asarray(imp_dense)),
     )
 
     # initial population distributed by owner
@@ -531,6 +559,8 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
         cs_c=repl, cs_rowsum=repl, cs_aliasJ=repl, cs_aliasq=repl,
         table=jax.tree_util.tree_map(lambda _: repl, base.table),
         ct_up=repl, ct_dn=repl, ct_num=repl, ct_den=repl,
+        ct_num_imp=(sharded if tables.ct_num_imp.shape[0] > 0 else repl),
+        ct_den_imp=(sharded if tables.ct_den_imp.shape[0] > 0 else repl),
         imp_up=sharded, imp_dn=sharded, imp_rows=sharded, imp_cols=sharded,
         imp_vals=sharded,
         imp_ell_cols=sharded, imp_ell_vals=sharded, imp_ell_row=sharded,

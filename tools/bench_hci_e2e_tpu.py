@@ -42,9 +42,16 @@ def main():
     ap.add_argument("--mode", choices=["host", "tpu"], required=True)
     ap.add_argument("--eps-var", type=float, default=1e-4)
     ap.add_argument("--eps-pt", type=float, default=1e-6)
+    ap.add_argument("--eps-pt-big", type=float, default=3e-5,
+                    help="force the semistochastic split (the reference "
+                         "e2e comparison point is the alias-method PT, "
+                         "o_st_ref); <=0 lets do_pt choose")
     ap.add_argument("--n-mc", type=int, default=200)
     ap.add_argument("--target-error", type=float, default=1e-4)
     ap.add_argument("--skip-pt", action="store_true")
+    ap.add_argument("--load-wf", default=None,
+                    help="skip the variational stage, load this saved wf "
+                         "(timing rec then covers PT only)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     out_path = args.out or os.path.join(ROOT, ".cache", "hci_e2e_r4.jsonl")
@@ -80,8 +87,16 @@ def main():
 
     timers.start_ledger()
     t0 = time.time()
-    res = run_hci(system, eps_var=args.eps_var, verbose=True, mesh=mesh,
-                  device_davidson=device_davidson)
+    if args.load_wf:
+        import types
+        from sqmc_tpu.utils.checkpoint import load_wf_var
+        z = load_wf_var(args.load_wf)
+        assert z is not None, args.load_wf
+        res = types.SimpleNamespace(up=z["up"], dn=z["dn"], wts=z["wts"],
+                                    energies=z["energies"], diag=z["diag"])
+    else:
+        res = run_hci(system, eps_var=args.eps_var, verbose=True, mesh=mesh,
+                      device_davidson=device_davidson)
     t_var = time.time() - t0
     ledger = timers.read_ledger()
     e_var = float(res.energies[0])
@@ -98,10 +113,26 @@ def main():
         "phases_s": {k: round(v, 2) for k, v in ledger.items()},
     }
 
+    if args.load_wf:
+        rec["loaded_wf"] = args.load_wf
+
+    # persist the variational wavefunction OUTSIDE the timed region (host
+    # runs feed the frontier-trial cuts; mode-specific name so a later run
+    # never silently reads it as a cache and skips the stage)
+    try:
+        from sqmc_tpu.utils.checkpoint import save_wf_var
+        wf_path = os.path.join(cache,
+                               f"wf_e2e_{args.mode}_{args.eps_var:g}.npz")
+        save_wf_var(wf_path, res.up, res.dn, res.wts, res.energies, res.diag)
+        print(f"# saved wf to {wf_path}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 - timing tool; wf dump is best-effort
+        print(f"# wf save failed: {e}", file=sys.stderr)
+
     if not args.skip_pt:
         t0 = time.time()
         pt = do_pt(system, res.up, res.dn, res.wts[:, 0], res.diag, e_var,
                    eps_var=args.eps_var, eps_pt=args.eps_pt,
+                   eps_pt_big=args.eps_pt_big,
                    n_mc=args.n_mc, target_error=args.target_error,
                    n_max_connections=0, verbose=True, mesh=mesh)
         t_pt = time.time() - t0

@@ -42,6 +42,7 @@ def build(args):
                      tau=2e-3, w_abs_target=args.pop, has_singles=True,
                      spawn_granularity=args.g, min_wt=args.min_wt,
                      f32_state=args.f32, r_initiator=args.r_init,
+                     proj_bf16=args.proj_bf16,
                      axis_name="d" if args.sharded else None,
                      n_dev=1 if args.sharded else 1)
     if args.sharded:
@@ -75,6 +76,8 @@ def main():
     ap.add_argument("--cap-bits", type=int, default=17)
     ap.add_argument("--nstep", type=int, default=100)
     ap.add_argument("--outdir", default="/tmp/walk_trace")
+    ap.add_argument("--proj-bf16", action="store_true",
+                    help="store the dense D-projection matrix bf16 (bitwise-free on the v5e MXU)")
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--r-init", type=float, default=1.0)
     ap.add_argument("--sharded", action="store_true",

@@ -65,6 +65,13 @@ def main():
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--two-level", action="store_true",
                     help="use the two-level merge instead of the full sort")
+    ap.add_argument("--proj-bf16", action="store_true",
+                    help="store the dense D-projection matrix bf16 (bitwise-free on the v5e MXU)")
+    ap.add_argument("--dense-proj-max", type=int, default=0,
+                    help="override cfg.dense_proj_max (with --proj-bf16 the "
+                         "dense MXU projection scales to ~48k D dets: "
+                         "[48k,48k] bf16 = 4.8 GB streamed per step, far "
+                         "cheaper than the ELL gather form)")
     ap.add_argument("--f32", action="store_true",
                     help="f32 walker-state mode (cfg.f32_state)")
     ap.add_argument("--cap-single", type=int, default=0,
@@ -101,7 +108,10 @@ def main():
                      spawn_granularity=args.g, min_wt=args.min_wt,
                      r_initiator=args.r_init,
                      full_sort_merge=not args.two_level,
-                     f32_state=args.f32, cap_single=args.cap_single)
+                     f32_state=args.f32, cap_single=args.cap_single,
+                     proj_bf16=args.proj_bf16,
+                     **({"dense_proj_max": args.dense_proj_max}
+                        if args.dense_proj_max else {}))
     out = run_walk(system, trial, cfg, nstep=args.nstep, nblk=args.nblk,
                    nblk_eq=args.nblk_eq,
                    w_abs_begin=args.w_begin or args.pop,
