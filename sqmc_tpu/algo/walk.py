@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import dets
-from ..ops import prefix, rowpack, segscan, setalg
+from ..ops import dethash, prefix, rowpack, segscan, setalg
 from ..systems.heatbath import tri_le, tri_lt
 from ..systems.chem import slater
 
@@ -156,6 +156,12 @@ class WalkConfig:
     # ms/step at 12k dets / 1.5M nnz).  0 disables.  f64-state runs keep
     # block-ELL (the MXU has no f64 path).
     dense_proj_max: int = 16384
+
+    # hash the static C(T) det list (ops/dethash.py) so the fresh-det
+    # C(T) lookup is two [F]-row gathers instead of a [F + n_ct] fused
+    # re-sort every generation.  Identical indices -> bitwise-identical
+    # trajectories; the flag exists for A/B measurement.
+    det_hash: bool = True
 
     @property
     def cap_compact_eff(self):
@@ -334,6 +340,11 @@ class WalkTables(NamedTuple):
     ct_dn: jnp.ndarray
     ct_num: jnp.ndarray
     ct_den: jnp.ndarray
+    # cuckoo hash over the C(T) det list (ops/dethash.py; [1, 1] u32 =
+    # inactive): the fresh-det C(T) lookup becomes exactly two [F]-row
+    # gathers instead of re-sorting [F + n_ct] fused keys every
+    # generation (6.2 -> ~1 ms/step at 32k x 129k, PERF_NOTES round-4h)
+    ct_hash: jnp.ndarray
     # C(T)-in-D estimator vectors ([n_imp] f64; [0] = inactive): when every
     # Psi_T det is deterministic (true for the standard top-|c| trial
     # construction), the mixed estimator reduces to two dots against the
@@ -807,6 +818,11 @@ def build_walk_tables(system, trial, guide=None, cfg=None) -> WalkTables:
         ct_up=jnp.asarray(trial.ct_up), ct_dn=jnp.asarray(trial.ct_dn),
         ct_num=jnp.asarray(ct_num.astype(fdt)),
         ct_den=jnp.asarray(ct_den.astype(fdt)),
+        ct_hash=jnp.asarray(
+            dethash.build_det_hash(trial.ct_up, trial.ct_dn, cfg.norb)
+            if (cfg is not None and cfg.det_hash and len(trial.ct_up) > 0
+                and ct_num_imp.shape[0] == 0)
+            else np.zeros((1, 1), np.uint32)),
         ct_num_imp=jnp.asarray(ct_num_imp),
         ct_den_imp=jnp.asarray(ct_den_imp),
         imp_up=jnp.asarray(trial.imp_up), imp_dn=jnp.asarray(trial.imp_dn),
@@ -1027,9 +1043,16 @@ def _fill_fresh(cfg, tables, up, dn, diag, ct, need, with_ct: bool = True):
     fpos = prefix.cumsum_i32(need.astype(jnp.int32)) - 1
     n_need = fpos[-1] + 1
     overflow = n_need > F
-    fdest = jnp.where(need, fpos, F)
-    fidx = jnp.full(F, M, jnp.int32).at[fdest].set(
-        jnp.arange(M, dtype=jnp.int32), mode="drop")
+    # compaction via top_k instead of an arbitrary scatter: TPU scatters
+    # serialize (microbench_scatter r4h: 16.7 ms scatter vs 1.8 ms top_k
+    # at [458k] -> [32k]); the key ranks needed rows by ascending index,
+    # so the result is bit-identical to the scatter form (first F needed
+    # rows, ascending; M sentinel beyond n_need)
+    _, f_top = jax.lax.top_k(
+        jnp.where(need, M - jnp.arange(M, dtype=jnp.int32), -1), min(F, M))
+    if F > M:      # tiny configs: cap_fresh floor can exceed mwalk
+        f_top = jnp.concatenate([f_top, jnp.full(F - M, M, jnp.int32)])
+    fidx = jnp.where(jnp.arange(F) < n_need, f_top, M)
     fi = jnp.clip(fidx, 0, M - 1)
     f_up = up[fi]
     f_dn = dn[fi]
@@ -1046,11 +1069,18 @@ def _fill_fresh(cfg, tables, up, dn, diag, ct, need, with_ct: bool = True):
                                             fb_dn, fb_up)
         selfs = jnp.all(f_up == f_dn, axis=1)
         f_diag = f_diag + jnp.where(selfs, 0.0, cfg.z * cross)
-    diag = diag.at[fidx].set(f_diag.astype(diag.dtype), mode="drop")
+    # fidx is ascending (needed rows in order, M sentinels last): the
+    # sorted-indices hint keeps these scatters off the serialized path
+    diag = diag.at[fidx].set(f_diag.astype(diag.dtype), mode="drop",
+                             indices_are_sorted=True)
     if with_ct:
-        f_ct = _searchsorted_dets(tables.ct_up, tables.ct_dn, f_up, f_dn,
-                                  norb)
-        ct = ct.at[fidx].set(f_ct, mode="drop")
+        if tables.ct_hash.shape[0] > 1:
+            f_ct = dethash.lookup_det_hash(tables.ct_hash, f_up, f_dn,
+                                           norb)
+        else:
+            f_ct = _searchsorted_dets(tables.ct_up, tables.ct_dn, f_up,
+                                      f_dn, norb)
+        ct = ct.at[fidx].set(f_ct, mode="drop", indices_are_sorted=True)
     return diag, ct, overflow
 
 
@@ -1300,9 +1330,15 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
             # the k-th D det: ONE compaction replaces the log(M) search
             is_imp = alive & (state.imp == 0)
             rank = prefix.cumsum_i32(is_imp.astype(jnp.int32)) - 1
-            imp_pos = jnp.full(n_imp, -1, jnp.int32).at[
-                jnp.where(is_imp, rank, n_imp)].set(
-                jnp.arange(M, dtype=jnp.int32), mode="drop")
+            # stable-sort compaction instead of an arbitrary scatter
+            # (18.1 -> 1.6 ms at [458k] -> [12k], microbench_scatter
+            # r4h); bit-identical: D slots in ascending order, -1 beyond
+            _, imp_order = jax.lax.sort(
+                (jnp.where(is_imp, jnp.uint32(0), jnp.uint32(1)),
+                 jnp.arange(M, dtype=jnp.int32)),
+                num_keys=1, is_stable=True)
+            imp_pos = jnp.where(jnp.arange(n_imp) < rank[-1] + 1,
+                                imp_order[:n_imp], -1)
         else:
             imp_pos = _searchsorted_dets(state.up, state.dn, tables.imp_up,
                                          tables.imp_dn)
@@ -1415,9 +1451,13 @@ def _walk_step_impl(state: WalkState, tables: WalkTables, cfg: WalkConfig):
     # sorting [M+CAP] loses to a [CAP] scatter+scan here, unlike the det
     # searches below where queries are few and the list is large.)
     t = jnp.arange(CAP, dtype=jnp.int32)
+    # off_child is a prefix sum (monotone), so the sorted-indices hint
+    # applies: 14.9 -> 5.1 ms standalone at [458k] -> [262k]
+    # (microbench_scatter r4h)
     seed_par = jnp.full(CAP, -1, jnp.int32).at[
         jnp.clip(off_child, 0, CAP - 1)].max(
-        jnp.arange(M, dtype=jnp.int32), mode="drop")
+        jnp.arange(M, dtype=jnp.int32), mode="drop",
+        indices_are_sorted=True)
     # lax.cummax lowers ~1.4x faster than associative_scan(maximum) on
     # v5e (1.45 vs 2.03 ms at [262k] i32, tools/microbench_scan.py);
     # bitwise-identical result
@@ -2246,8 +2286,6 @@ def _full_sort_merge(state, cfg, tables, key_red, alive, wt_par, diag,
     pos = prefix.cumsum_i32(keep.astype(jnp.int32)) - 1
     nwalk_new = (pos[-1] + 1).astype(jnp.int32)
     overflow = overflow | (nwalk_new > M)
-    dest = jnp.where(keep, pos, M)   # out-of-range dropped by mode="drop"
-
     plane0 = (rounded.astype(jnp.uint32) |
               (g_init.astype(jnp.uint32) << 1) |
               ((g_imp + 2).astype(jnp.uint32) << 3))
@@ -2259,8 +2297,16 @@ def _full_sort_merge(state, cfg, tables, key_red, alive, wt_par, diag,
     if not ct_free:
         rp.add("ct", g_ct)
     rp.add("diag", g_diag)
-    src = jnp.zeros(M, jnp.int32).at[dest].set(
-        jnp.arange(N, dtype=jnp.int32), mode="drop", unique_indices=True)
+    # stable-sort compaction instead of the arbitrary inverse scatter
+    # (microbench_scatter r4h: the [720k] 1-key sort costs 1.9 ms while
+    # the scatter form serializes); src entries beyond nwalk_new differ
+    # from the scatter form (arbitrary non-kept rows vs 0) but every such
+    # output row is overwritten by the template below — bit-identical
+    # final state
+    _, src_order = jax.lax.sort(
+        (jnp.where(keep, jnp.uint32(0), jnp.uint32(1)),
+         jnp.arange(N, dtype=jnp.int32)), num_keys=1, is_stable=True)
+    src = src_order[:M]
     rows = rowpack.gather_rows(rp.pack(), src)
     defaults = {**{f"k{i}": SENT for i in range(len(s_keys))},
                 "wt": 0.0, "p0": (127 + 2) << 3, "diag": DIAG_UNKNOWN}
@@ -2512,8 +2558,12 @@ def _finalize_step(state, tables, cfg, out_up, out_dn, out_wt, out_init,
         if out_ct is None:
             # two-level-merge path: C(T) positions by search (the
             # full-sort path carries them through the merge instead)
-            out_ct = _searchsorted_dets(tables.ct_up, tables.ct_dn, out_up,
-                                        out_dn, cfg.norb)
+            if tables.ct_hash.shape[0] > 1:
+                out_ct = dethash.lookup_det_hash(tables.ct_hash, out_up,
+                                                 out_dn, cfg.norb)
+            else:
+                out_ct = _searchsorted_dets(tables.ct_up, tables.ct_dn,
+                                            out_up, out_dn, cfg.norb)
         n_ct = tables.ct_num.shape[0]
         safe_ct = jnp.clip(out_ct, 0, n_ct - 1)
         match = out_ct >= 0

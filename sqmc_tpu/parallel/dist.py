@@ -113,11 +113,17 @@ def route_spawns(axis_name: str, n_dev: int, owner: jnp.ndarray, valid,
     counts = first_of[1:] - first_of[:-1]  # per destination (w/o invalid)
     overflow = jnp.any(counts[:n_dev] > cap_loc)
 
-    dest = jnp.where((owner_s < n_dev) & (rank < cap_loc),
-                     owner_s * cap_loc + rank, CAP)
-
-    buf = jnp.zeros((CAP, packed.shape[1]), jnp.uint32)
-    buf = buf.at[dest].set(packed[order], mode="drop")
+    # gather formulation of the bucket layout: output slot s=(dev, r)
+    # reads sorted row first_of[dev]+r when r < counts[dev] — one [CAP]
+    # row gather instead of a [CAP]-row scatter (TPU scatters serialize,
+    # microbench_scatter r4h), and exact even when a bucket overflows
+    slot = jnp.arange(CAP, dtype=jnp.int32)
+    sdev = slot // cap_loc
+    srank = slot - sdev * cap_loc
+    src = first_of[sdev] + srank
+    svalid = srank < counts[jnp.clip(sdev, 0, n_dev - 1)]
+    buf = jnp.where(svalid[:, None],
+                    packed[order[jnp.clip(src, 0, CAP - 1)]], 0)
     if not _TIMING_NO_ALL_TO_ALL:
         buf = jax.lax.all_to_all(buf.reshape(n_dev, cap_loc, -1), axis_name,
                                  split_axis=0, concat_axis=0, tiled=False)
@@ -558,7 +564,7 @@ def make_sharded_walk(system, trial, cfg, mesh: Mesh, w_abs_begin: float,
         u_table=repl, u_rowsum=repl, u_alias_qJ=repl, sng_pack=repl,
         cs_c=repl, cs_rowsum=repl, cs_aliasJ=repl, cs_aliasq=repl,
         table=jax.tree_util.tree_map(lambda _: repl, base.table),
-        ct_up=repl, ct_dn=repl, ct_num=repl, ct_den=repl,
+        ct_up=repl, ct_dn=repl, ct_num=repl, ct_den=repl, ct_hash=repl,
         ct_num_imp=(sharded if tables.ct_num_imp.shape[0] > 0 else repl),
         ct_den_imp=(sharded if tables.ct_den_imp.shape[0] > 0 else repl),
         imp_up=sharded, imp_dn=sharded, imp_rows=sharded, imp_cols=sharded,
