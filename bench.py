@@ -9,7 +9,7 @@ eps_var=1e-3), 2k-det Psi_T, granularity g=2, min_wt=0.5, r_initiator=0.5,
 f32 walker state, pop 2e5, tau=2e-3.  The measured initiator-bias ladder
 at these settings (bias vs the eps_var=1e-4+PT oracle -75.72859 Ha;
 throughputs from the mid-round-3 scans - the bench itself has since
-reached ~4M+ walker-steps/s at the same physics, see PERF_NOTES ladder):
+reached 12M+ walker-steps/s at the same physics, see PERF_NOTES ladder):
     r_initiator 1.0 :  3.38 +- 0.49 mHa
     r_initiator 0.5 :  1.46 +- 0.62 mHa   (this configuration)
     r_initiator 0.25:  1.19 +- 4.09 mHa   (~r=0: every walker above
