@@ -2,21 +2,26 @@
 measured in the SAME run (BASELINE.json: walker-steps/sec per chip + energy
 error in mHa at matched stochastic error).
 
-Configuration (round-3, selected by the on-chip scans in
-.cache/scan_r3*.jsonl / tools/scan_walk.py after the TPU f64-demotion fix
-re-validated the physics): 12k-det semistochastic deterministic space (HCI
-eps_var=1e-3), 2k-det Psi_T, granularity g=2, min_wt=0.5, r_initiator=0.5,
-f32 walker state, pop 2e5, tau=2e-3.  The measured initiator-bias ladder
-at these settings (bias vs the eps_var=1e-4+PT oracle -75.72859 Ha;
-throughputs from the mid-round-3 scans - the bench itself has since
-reached 12M+ walker-steps/s at the same physics, see PERF_NOTES ladder):
-    r_initiator 1.0 :  3.38 +- 0.49 mHa
-    r_initiator 0.5 :  1.46 +- 0.62 mHa   (this configuration)
-    r_initiator 0.25:  1.19 +- 4.09 mHa   (~r=0: every walker above
-                       min_wt=0.5 is an initiator; error bar blows up)
+Configuration (round-3/4, selected by the on-chip scans in
+.cache/scan_r3*.jsonl + scan_r4_frontier.jsonl / tools/scan_walk.py):
+12k-det semistochastic deterministic space (HCI eps_var=1e-3), 2k-det
+Psi_T, granularity g=2, min_wt=0.5, r_initiator=0.5, f32 walker state,
+pop 2e5, tau=2e-3.  The protocol equilibrates 1,200 steps before
+measuring: the walk's projection transient from the trial start lasts
+~1,100 steps (tau 2e-3), and the round-<=4h bench protocol (300-step
+equilibration, 400-step measurement) sat mid-transient — its "1.60 +-
+0.65 mHa bias" was the transient, not initiator bias (PERF_NOTES
+round-4i).  The stationary frontier at these settings (13k-step rungs,
+bias vs the eps_var=1e-4+PT oracle -75.72859 Ha):
+    n_imp 12k, r=0.5:  0.142 +- 0.014 mHa at 13.35M walker-steps/s  (this config)
+    n_imp 12k, r=1.0:  0.185 +- 0.007 mHa at 10.14M
+    n_imp 24k, r=0.5:  0.103 +- 0.009 mHa at 12.89M
+    n_imp 48k, r=0.5:  0.078 +- 0.009 mHa at 10.54M
 r=0.5 dominates r=1 on BOTH axes (initiator suppression kills fewer
 walkers, so more occupied dets update per generation at the same step
-cost).  bias_mHa below is measured in THIS run.  The spawn weights carry
+cost); bigger D spaces buy accuracy at modest throughput cost
+(do_walk.f90:2260-2330 is the reference's same lever).  bias_mHa below
+is measured in THIS run.  The spawn weights carry
 the exact S/diff unbiasedness correction (PERF_NOTES round-3i: the MXU
 quantizes the f32 selection tables to bf16; the correction makes
 E[spawn] = -tau*H*w independent of matmul rounding).
@@ -158,12 +163,15 @@ def main():
                      tau=2e-3, w_abs_target=200_000.0, has_singles=True,
                      spawn_granularity=2.0, min_wt=0.5, r_initiator=0.5,
                      f32_state=True, proj_bf16=True)
-    # 25-step dispatches: the axon tunnel kills device dispatches that run
-    # longer than ~2-4 min (PERF_NOTES "dispatch-length limit")
-    out = run_walk(system, trial, cfg, nstep=25, nblk=16, nblk_eq=12,
+    # 100-step blocks (2.5 s dispatches, far under the tunnel's 2-4 min
+    # dispatch kill, PERF_NOTES "dispatch-length limit"); 12 equilibration
+    # blocks = 1,200 steps clears the ~1,100-step projection transient
+    # (PERF_NOTES round-4i), 30 measured blocks = 3,000 steps -> ~0.03 mHa
+    # blocking error at t_corr ~ 220 steps
+    out = run_walk(system, trial, cfg, nstep=100, nblk=30, nblk_eq=12,
                    w_abs_begin=140_000.0, e_trial_initial=trial.e_trial,
                    verbose=True, mode="scan", max_eq_extensions=2)
-    ntail = min(1000, 16 * 25)
+    ntail = min(1000, 30 * 100)
     pop = float(np.mean(out.w_abs_trace[-ntail:]))
     nwalk_mean = float(np.mean(out.nwalk_trace[-ntail:]))
     walker_steps = nwalk_mean * out.steps_per_sec
