@@ -191,6 +191,11 @@ def main():
         "value": walker_steps,
         "unit": "walker-steps/s",
         "vs_baseline": walker_steps / ASSUMED_FORTRAN_8CORE_WALKER_STEPS_PER_SEC,
+        "assumed_baseline": ASSUMED_FORTRAN_8CORE_WALKER_STEPS_PER_SEC,
+        "baseline_note": ("vs_baseline divides by an ASSUMED 1.0e6 "
+                          "walker-steps/s for 8-core MPI Fortran (~8 us/"
+                          "walker-update/core); gfortran is absent here so "
+                          "the true figure is measured at comparison time"),
         "e_mixed": out.e_mixed,
         "e_err": out.e_err,
         "bias_mHa": bias_mha,

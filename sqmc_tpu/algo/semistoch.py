@@ -290,6 +290,35 @@ def load_trial_from_reference(system, psit_con_file: str,
                              imp_ham=imp_ham)
 
 
+def ensure_psit_in_imp(system, trial: TrialWavefunction,
+                       verbose: bool = False) -> TrialWavefunction:
+    """Force Psi_T into the deterministic space D (the exact semantics the
+    reference's hf_to_psit card buys via its special Psi_T-column move,
+    do_walk.f90:2281-2296: walkers on Psi_T dets propagate to the Psi_T
+    connections exactly).  With Psi_T a subset of D, the D-space sparse
+    projection applies -tau(H-E) exactly on every Psi_T det, which is the
+    same guarantee with no special-cased column."""
+    pos = setalg.search_dets(trial.imp_up, trial.imp_dn,
+                             trial.psit_up, trial.psit_dn)
+    missing = pos < 0
+    if not missing.any():
+        return trial
+    iu = np.concatenate([trial.imp_up, trial.psit_up[missing]])
+    idn = np.concatenate([trial.imp_dn, trial.psit_dn[missing]])
+    iu, idn, _, _ = setalg.unique_dets(iu, idn, [])
+    imp_ham = build_sparse_ham(system.table, iu, idn, system.nup,
+                               system.ndn, system.norb,
+                               time_sym=system.time_sym, z=system.z)
+    if verbose:
+        print(f"hf_to_psit: forcing Psi_T into the deterministic space "
+              f"({int(missing.sum())} Psi_T dets added, n_imp "
+              f"{len(trial.imp_up)} -> {len(iu)}); the exact D-space "
+              "projection subsumes the reference's Psi_T-column move "
+              "(do_walk.f90:2281-2296)")
+    return dataclasses.replace(trial, imp_up=iu, imp_dn=idn,
+                               imp_ham=imp_ham)
+
+
 def save_trial(trial: TrialWavefunction, path: str):
     """Serialize a trial wavefunction (the SQMC checkpoint analog of the
     reference's psit/psit_connections/dtm_projector files; ref:

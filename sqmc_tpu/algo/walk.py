@@ -102,8 +102,9 @@ class WalkConfig:
     # C(T) states (imp == -2) are permanent initiators when set (ref
     # c_t_initiator card, do_walk.f90:383; permanent initiator = code 3,
     # never demoted).  The related hf_to_psit option (exact Psi_T-column
-    # treatment, do_walk.f90:2281-2296) is subsumed here by the exact
-    # D-space projection: include Psi_T in the deterministic space.
+    # treatment, do_walk.f90:2281-2296) is subsumed by the exact D-space
+    # projection: cli.py calls semistoch.ensure_psit_in_imp when the card
+    # is set, forcing Psi_T into the deterministic space.
     c_t_initiator: bool = False
     # annihilation strategy.  full_sort_merge=True (default): one variadic
     # key-value sort over [M+CAP] - measured FASTER on C2 FCIQMC at 200k

@@ -152,6 +152,13 @@ def run_det_walk(cfg, system, verbose: bool = True):
             n_psi_t=max(cfg.n_truncate_det or 200, 1),
             n_imp=cfg.size_deterministic or 1000, verbose=verbose)
 
+    if cfg.hf_to_psit:
+        # ref hf_to_psit card (do_walk.f90:2281-2296): walkers on Psi_T
+        # propagate through the exact Psi_T column.  Here: force
+        # Psi_T into D so the exact D-space projection covers them.
+        from .algo.semistoch import ensure_psit_in_imp
+        trial = ensure_psit_in_imp(system, trial, verbose=verbose)
+
     tau = cfg.tau
     if tau == 0.0:
         # tau deduced from the diagonal spectral range (ref:

@@ -328,7 +328,6 @@ f f 0.5                            hf_to_psit, c_t_initiator, always_spawn_cutof
 8        4                        nelec, nup
 d2h                                point_group
 f                                  time_sym
-1                                  z
 26                                 norb
 0                                  n_core_spatial_orb
 2                                  trial_wf_iterations
@@ -364,3 +363,50 @@ def test_chem_walk_from_cards(tmp_path):
     # short run: not converged to E0 (-75.7286), but must sit between the
     # trial's variational energy and the exact ground state
     assert -75.73 < e < -75.55, e
+
+
+def test_hf_to_psit_card_forces_psit_into_d(tmp_path):
+    """hf_to_psit=t must run with stated semantics: Psi_T is forced into
+    the deterministic space (the exact D-projection subsumes the
+    reference's Psi_T-column move, do_walk.f90:2281-2296) and the
+    substitution is printed (VERDICT r4 item 7)."""
+    # size_deterministic=50 < the 80-det Psi_T so the forcing is
+    # guaranteed to add dets; tiny walk (8 steps x 1 block)
+    inp = tmp_path / "i_hf_to_psit"
+    inp.write_text(CHEM_WALK_INPUT
+                   .replace("100 5 3 0", "8 1 1 0")
+                   .replace("200                                "
+                            "size_deterministic",
+                            "50                                 "
+                            "size_deterministic")
+                   .replace("f f 0.5", "t f 0.5"))
+    out = subprocess.run(
+        [sys.executable, "-m", "sqmc_tpu", "-i", str(inp),
+         "-f", "/root/reference/C2_v2z_curve/r1.24253/FCIDUMP", "--cpu"],
+        capture_output=True, text=True, cwd=REPO, timeout=560)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "hf_to_psit: forcing Psi_T into the deterministic space" \
+        in out.stdout, out.stdout[-1500:]
+    m = re.search(r"n_imp \d+ -> (\d+)", out.stdout)
+    assert m and int(m.group(1)) > 50, out.stdout[-1500:]
+
+
+def test_ensure_psit_in_imp_subset():
+    """ensure_psit_in_imp yields Psi_T subset of D with a consistent
+    rebuilt projector; a trial already satisfying the subset is returned
+    unchanged."""
+    from sqmc_tpu.systems.base import make_chem_system
+    from sqmc_tpu.algo.semistoch import (build_trial_wavefunction,
+                                         ensure_psit_in_imp)
+    from sqmc_tpu.ops import setalg
+    system = make_chem_system(
+        "/root/reference/C2_v2z_curve/r1.24253/FCIDUMP")
+    trial = build_trial_wavefunction(system, eps_var=2e-2, n_psi_t=60,
+                                     n_imp=20, verbose=False)
+    forced = ensure_psit_in_imp(system, trial)
+    pos = setalg.search_dets(forced.imp_up, forced.imp_dn,
+                             forced.psit_up, forced.psit_dn)
+    assert (pos >= 0).all()
+    assert forced.imp_ham.n == len(forced.imp_up)
+    again = ensure_psit_in_imp(system, forced)
+    assert again is forced

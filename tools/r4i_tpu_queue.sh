@@ -13,13 +13,26 @@ LOG=/tmp/r4i_queue.log
 OUT=.cache/scan_r4_frontier.jsonl
 
 wait_for() {
-  while [ ! -f "$1" ]; do sleep 30; done
+  # bounded: abort the queue if the trial build never lands (ADVICE r4)
+  local deadline=$(( $(date +%s) + 7200 ))
+  while [ ! -f "$1" ]; do
+    if [ "$(date +%s)" -ge "$deadline" ]; then
+      echo "=== ABORT: $1 never appeared within 2h" >> $LOG
+      exit 1
+    fi
+    sleep 30
+  done
 }
 
 run() {
   echo "=== $(date -u +%H:%M:%S) $*" >> $LOG
   timeout 5400 python "$@" >> $LOG 2>&1
-  echo "=== rc=$?" >> $LOG
+  local rc=$?
+  echo "=== rc=$rc" >> $LOG
+  if [ $rc -ne 0 ]; then
+    echo "=== ABORT: rung failed (rc=$rc)" >> $LOG
+    exit $rc
+  fi
 }
 
 # rung 12k long first (its trial builds fastest: eps_var=1e-3 HCI);
