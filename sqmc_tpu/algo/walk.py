@@ -2738,7 +2738,8 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
              max_eq_extensions: int = 3,
              checkpoint_file: str | None = None,
              resume_state: "WalkState | None" = None,
-             guide=None, tables_transform=None) -> WalkResult:
+             guide=None, tables_transform=None,
+             pipeline_blocks: bool = True) -> WalkResult:
     """Block/step driver with equilibration (ref: do_walk.f90:2113).
 
     Energy estimate: ratio of block sums of e_num/e_den with blocking error
@@ -2749,6 +2750,10 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
     max_eq_extensions: auto-extend equilibration while the population is
     still >10% from target or the energy still drifts by >3 block sigmas
     (ref: equilibration auto-extension, do_walk.f90:2917+).
+    pipeline_blocks: scan mode dispatches block k+1 before fetching block
+    k's stats (1-block lookahead; trajectory bit-identical - the chain is
+    functional and the lookahead stalls at the eq-extension decision
+    block).  Disable to reproduce strictly serial dispatch timing.
     """
     import time
 
@@ -2790,29 +2795,59 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
 
     max_capacity_grows = 4
     grows = 0
-    while iblk < n_eq_planned + nblk:
-        equil = iblk < n_eq_planned
-        if not equil:
-            state = state._replace(equilibrated=jnp.asarray(True))
-        cfg_blk = cfg_growth if equil else cfg
+    # Pipelined scan-mode driver (round 5): dispatch block k+1 BEFORE
+    # fetching block k's stats, so the host-side stat pulls / walkalize
+    # writes / prints overlap the device's next block (the axon tunnel
+    # adds ~0.1-0.3 s of round trips per block - 4-12% of wall at 2.5 s
+    # blocks).  end_of_block rolls into the NEXT dispatch as a cheap
+    # device op on the unmaterialized output, and the lookahead stalls
+    # at the auto-extension decision block (the last planned eq block),
+    # so the trajectory is bit-identical to the unpipelined driver.
+    t_meas_t0 = None
+
+    def _dispatch_block(i):
+        nonlocal state, t_meas_t0
+        equil_i = i < n_eq_planned
+        chained = end_of_block(state) if i > 0 else state
+        if not equil_i:
+            chained = chained._replace(equilibrated=jnp.asarray(True))
+        cfg_b = cfg_growth if equil_i else cfg
         # snapshot for overflow retry (per-step mode donates the state
         # buffers into walk_step, so it needs a real copy)
-        state_blk_start = state if mode == "scan" else \
-            jax.tree_util.tree_map(jnp.copy, state)
-        t0 = time.time()
+        start = chained if mode == "scan" else \
+            jax.tree_util.tree_map(jnp.copy, chained)
+        if not equil_i and t_meas_t0 is None:
+            t_meas_t0 = time.time()
+        t0_i = time.time()
         if mode == "scan":
             # whole block in one device dispatch
-            state, stats = walk_block(state, tables, cfg_blk, nstep)
-            jax.block_until_ready(state.wt)
+            out, st_stats = walk_block(chained, tables, cfg_b, nstep)
         else:
+            out = chained
             for istep in range(nstep):
-                state, st_ = walk_step(state, tables, cfg_blk)
-            jax.block_until_ready(state.wt)
-        if bool(state.overflow):
+                out, st_stats = walk_step(out, tables, cfg_b)
+        state = out
+        return [i, equil_i, t0_i, start, out, st_stats]
+
+    inflight = None
+    while iblk < n_eq_planned + nblk or inflight is not None:
+        cur = None
+        if iblk < n_eq_planned + nblk and (
+                inflight is None
+                or (mode == "scan" and pipeline_blocks
+                    and inflight[0] != n_eq_planned - 1)):
+            cur = _dispatch_block(iblk)
+            iblk += 1
+        if inflight is None:
+            inflight = cur
+            continue
+        ib, equil, t0, state_blk_start, state_out, stats = inflight
+        jax.block_until_ready(state_out.wt)
+        if bool(state_out.overflow):
             # capacity escalation (ref MWALK auto-size do_walk.f90:652):
             # double the capacities and RERUN the block from its start
             # state - the overflowing pass dropped walkers, so its output
-            # must not be used
+            # (and any lookahead block chained on it) must not be used
             if grows >= max_capacity_grows:
                 raise RuntimeError(
                     "walker/spawn capacity exceeded after "
@@ -2827,8 +2862,10 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
             if verbose:
                 print(f"capacity overflow: growing to mwalk={cfg.mwalk} "
                       f"cap_spawn={cfg.cap_spawn}, rerunning block "
-                      f"{iblk + 1}", flush=True)
+                      f"{ib + 1}", flush=True)
             state = grow_walk_state(state_blk_start, cfg)
+            iblk = ib
+            inflight = None
             continue
         dt = time.time() - t0
         if mode == "scan":
@@ -2855,10 +2892,10 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
             # accumulators, so the host fetches only a handful of scalars
             # per block (per-step traces are skipped in this mode - every
             # extra fetch is a round trip on high-latency links)
-            blk_num = float(state.e_num_blk)
-            blk_den = float(state.e_den_blk)
-            w_trace.append(float(state.w_abs_gen))
-            n_trace.append(int(state.nwalk))
+            blk_num = float(state_out.e_num_blk)
+            blk_den = float(state_out.e_den_blk)
+            w_trace.append(float(state_out.w_abs_gen))
+            n_trace.append(int(state_out.nwalk))
         if not equil:
             t_measured += dt
             n_measured += nstep
@@ -2867,26 +2904,26 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
             e_blocks.append(e_blk)
         else:
             eq_energies.append(e_blk)
-        state = end_of_block(state)
         if verbose:
-            print(f"block {iblk + 1}{' (eq)' if equil else ''}: "
+            print(f"block {ib + 1}{' (eq)' if equil else ''}: "
                   f"e_blk={blk_num / max(abs(blk_den), 1e-300) * np.sign(blk_den) if blk_den else float('nan'):.6f} "
-                  f"e_est={float(state.e_est):.6f} "
-                  f"e_trial={float(state.e_trial):.6f} "
-                  f"w_abs={float(state.w_abs_gen):.1f} nwalk={int(state.nwalk)} "
+                  f"e_est={float(state_out.e_est):.6f} "
+                  f"e_trial={float(state_out.e_trial):.6f} "
+                  f"w_abs={float(state_out.w_abs_gen):.1f} "
+                  f"nwalk={int(state_out.nwalk)} "
                   f"steps/s={nstep / dt:.1f}", flush=True)
 
         if checkpoint_file is not None:
             from ..utils.checkpoint import save_walker_state
-            save_walker_state(checkpoint_file, state)
+            save_walker_state(checkpoint_file, end_of_block(state_out))
 
         # equilibration auto-extension (ref: do_walk.f90:2917+): extend
         # while the population is off target, or (with >= 3 block
         # energies, so the spread estimate has at least 1 dof) while the
         # last block drifts > 3 sigma from the earlier mean
-        if (equil and iblk == n_eq_planned - 1 and
+        if (equil and ib == n_eq_planned - 1 and
                 eq_extensions < max_eq_extensions and len(eq_energies) >= 2):
-            pop_off = abs(float(state.w_abs_gen) - cfg.w_abs_target) \
+            pop_off = abs(float(state_out.w_abs_gen) - cfg.w_abs_target) \
                 > 0.1 * cfg.w_abs_target
             drift = False
             if len(eq_energies) >= 3:
@@ -2903,8 +2940,14 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
                 if verbose:
                     print(f"extending equilibration (pop_off={pop_off}, "
                           f"drift={drift})", flush=True)
-        iblk += 1
-
+        inflight = cur
+    state = end_of_block(state)
+    # pipelined throughput of record: wall over the measured segment (the
+    # boundary stall separates it cleanly from equilibration); per-block
+    # dt sums double-count queue time under the 1-block lookahead
+    if (pipeline_blocks and mode == "scan" and t_meas_t0 is not None
+            and n_measured):
+        t_measured = time.time() - t_meas_t0
     if wf is not None:
         wf.close()
     e_blocks = np.asarray(e_blocks)

@@ -39,7 +39,8 @@ FCIDUMP = "/root/reference/C2_v2z_curve/r1.24253/FCIDUMP"
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["host", "tpu"], required=True)
+    ap.add_argument("--mode", choices=["host", "tpu", "tpu-dev"],
+                    required=True)
     ap.add_argument("--eps-var", type=float, default=1e-4)
     ap.add_argument("--eps-pt", type=float, default=1e-6)
     ap.add_argument("--eps-pt-big", type=float, default=3e-5,
@@ -67,7 +68,15 @@ def main():
 
     mesh = None
     device_davidson = False
-    if args.mode == "tpu":
+    if args.mode == "tpu-dev":
+        # round-5 device-resident fast path (algo/devhci.py): the whole
+        # variational iteration state lives on the chip
+        dev = jax.devices()[0]
+        assert dev.platform != "cpu", \
+            "--mode tpu-dev requires the TPU tunnel"
+        from jax.sharding import Mesh
+        mesh = Mesh(np.array([dev]), ("d",))
+    elif args.mode == "tpu":
         dev = jax.devices()[0]
         assert dev.platform != "cpu", \
             "--mode tpu requires the TPU tunnel (jax.devices()[0] is CPU)"
@@ -94,6 +103,11 @@ def main():
         assert z is not None, args.load_wf
         res = types.SimpleNamespace(up=z["up"], dn=z["dn"], wts=z["wts"],
                                     energies=z["energies"], diag=z["diag"])
+    elif args.mode == "tpu-dev":
+        from sqmc_tpu.algo.devhci import run_hci_device
+        dev_ledger = {}
+        res = run_hci_device(system, eps_var=args.eps_var, verbose=True,
+                             ledger=dev_ledger)
     else:
         res = run_hci(system, eps_var=args.eps_var, verbose=True, mesh=mesh,
                       device_davidson=device_davidson)
@@ -112,6 +126,9 @@ def main():
         "t_variational_s": t_var,
         "phases_s": {k: round(v, 2) for k, v in ledger.items()},
     }
+    if args.mode == "tpu-dev":
+        rec["phases_s"].update(
+            {k: round(v, 2) for k, v in dev_ledger.items()})
 
     if args.load_wf:
         rec["loaded_wf"] = args.load_wf

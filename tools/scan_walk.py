@@ -74,6 +74,11 @@ def main():
                          "cheaper than the ELL gather form)")
     ap.add_argument("--f32", action="store_true",
                     help="f32 walker-state mode (cfg.f32_state)")
+    ap.add_argument("--cap-compact", type=int, default=0,
+                    help="compact valid spawns into this many slots "
+                         "before the annihilation sort (0 = off)")
+    ap.add_argument("--no-pipeline", action="store_true",
+                    help="disable the 1-block dispatch lookahead")
     ap.add_argument("--cap-single", type=int, default=0,
                     help="compact the singles channel to this many slots")
     ap.add_argument("--w-begin", type=float, default=0.0,
@@ -109,6 +114,7 @@ def main():
                      r_initiator=args.r_init,
                      full_sort_merge=not args.two_level,
                      f32_state=args.f32, cap_single=args.cap_single,
+                     cap_compact=args.cap_compact,
                      proj_bf16=args.proj_bf16,
                      **({"dense_proj_max": args.dense_proj_max}
                         if args.dense_proj_max else {}))
@@ -117,7 +123,8 @@ def main():
                    w_abs_begin=args.w_begin or args.pop,
                    e_trial_initial=trial.e_trial, seed=args.seed,
                    verbose=not args.quiet, mode="scan",
-                   max_eq_extensions=args.max_eq_ext)
+                   max_eq_extensions=args.max_eq_ext,
+                   pipeline_blocks=not args.no_pipeline)
     pop = float(np.mean(out.w_abs_trace[-min(1000, args.nblk * args.nstep):]))
     rec = {
         "r_init": args.r_init, "n_imp": int(len(trial.imp_up)),
@@ -135,6 +142,8 @@ def main():
         * out.steps_per_sec,
         "weight_steps_per_sec": pop * out.steps_per_sec,
         "merge": "two_level" if args.two_level else "full_sort",
+        "cap_compact": args.cap_compact,
+        "pipeline": not args.no_pipeline,
         "f32_state": args.f32, "cap_single": args.cap_single,
         "mwalk": cfg.mwalk, "cap_spawn": cfg.cap_spawn,
     }
