@@ -254,7 +254,7 @@ def do_pt(system, up, dn, wts, diag, var_energy: float, eps_var: float,
           n_mc: int = -1, n_max_connections: int = 40_000_000,
           seed: int = 0, verbose: bool = True,
           eps_pt_big_energy: float | None = None, mesh=None,
-          max_pt_samples: int = 10 ** 6):
+          max_pt_samples: int = 10 ** 6, device: bool = False):
     """PT driver: deterministic if the estimated connection count fits,
     else semistochastic with an auto-chosen eps_pt_big
     (ref: hci.f90 do_pt:4148).
@@ -264,9 +264,15 @@ def do_pt(system, up, dn, wts, diag, var_energy: float, eps_var: float,
     eps_pt_big_energy: a previous run's deterministic part for this
     eps_pt_big, reused instead of recomputed (ref: eps_pt_big_energy
     namelist, common_selected_ci.f90).
+    device=True: use the device-resident estimators (algo/devpt.py) —
+    one scalar crosses the tunnel per stochastic sample instead of the
+    full candidate buffer.  Requires n_words == 1 and norb <= 32.
 
     Returns dict(pt, pt_err, e_tot, mode, ...).
     """
+    if device:
+        assert system.n_words == 1 and system.norb <= 32, \
+            "device PT requires n_words == 1 and norb <= 32"
     if n_max_connections <= 0:
         n_max_connections = int(free_memory_bytes() * 0.4 / 48)
         if verbose:
@@ -278,8 +284,14 @@ def do_pt(system, up, dn, wts, diag, var_energy: float, eps_var: float,
               f"variational wavefn={n_est}", flush=True)
 
     if n_est < n_max_connections and eps_pt_big <= 0:
-        pt, n_conn = second_order_pt(system, up, dn, wts, var_energy, eps_pt,
-                                     verbose=verbose, mesh=mesh)
+        if device:
+            from .devpt import second_order_pt_device
+            pt, n_conn = second_order_pt_device(system, up, dn, wts,
+                                                var_energy, eps_pt,
+                                                verbose=verbose)
+        else:
+            pt, n_conn = second_order_pt(system, up, dn, wts, var_energy,
+                                         eps_pt, verbose=verbose, mesh=mesh)
         if verbose:
             print(f"Variational energy={var_energy:26.9f}")
             print(f"Total energy={var_energy + pt:26.9f}", flush=True)
@@ -301,9 +313,15 @@ def do_pt(system, up, dn, wts, diag, var_energy: float, eps_var: float,
             print(f"Reusing deterministic part eps_pt_big_energy="
                   f"{pt_big:.9f}", flush=True)
     elif eps_pt_big < eps_var:
-        pt_big, n_conn = second_order_pt(system, up, dn, wts, var_energy,
-                                         eps_pt_big, verbose=verbose,
-                                         mesh=mesh)
+        if device:
+            from .devpt import second_order_pt_device
+            pt_big, n_conn = second_order_pt_device(system, up, dn, wts,
+                                                    var_energy, eps_pt_big,
+                                                    verbose=verbose)
+        else:
+            pt_big, n_conn = second_order_pt(system, up, dn, wts, var_energy,
+                                             eps_pt_big, verbose=verbose,
+                                             mesh=mesh)
     else:
         pt_big, n_conn = 0.0, 0
 
@@ -311,10 +329,18 @@ def do_pt(system, up, dn, wts, diag, var_energy: float, eps_var: float,
         n_mc = 200
     if target_error <= 0:
         target_error = 1e-4
-    res = second_order_pt_alias(system, up, dn, wts, var_energy, eps_pt,
-                                eps_pt_big, n_mc, target_error, pt_big,
-                                seed=seed, verbose=verbose, mesh=mesh,
-                                max_samples=max_pt_samples)
+    if device:
+        from .devpt import second_order_pt_alias_device
+        res = second_order_pt_alias_device(system, up, dn, wts, var_energy,
+                                           eps_pt, eps_pt_big, n_mc,
+                                           target_error, pt_big, seed=seed,
+                                           verbose=verbose,
+                                           max_samples=max_pt_samples)
+    else:
+        res = second_order_pt_alias(system, up, dn, wts, var_energy, eps_pt,
+                                    eps_pt_big, n_mc, target_error, pt_big,
+                                    seed=seed, verbose=verbose, mesh=mesh,
+                                    max_samples=max_pt_samples)
     pt_total = pt_big + res.pt_diff
     if verbose:
         print(f"Variational energy={var_energy:26.9f}")

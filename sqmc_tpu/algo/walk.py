@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import sys
 from typing import NamedTuple
 
 import jax
@@ -2912,6 +2913,18 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
                   f"w_abs={float(state_out.w_abs_gen):.1f} "
                   f"nwalk={int(state_out.nwalk)} "
                   f"steps/s={nstep / dt:.1f}", flush=True)
+        # dispatch-length guard (code, not doc): the axon tunnel kills
+        # single device dispatches past ~2-4 min (PERF_NOTES
+        # "dispatch-length limit"); a slow config at this nstep would
+        # crash the NEXT block, so warn as soon as one block crosses
+        # half the observed kill threshold
+        if mode == "scan" and dt > 100.0 and not getattr(
+                run_walk, "_warned_dispatch", False):
+            run_walk._warned_dispatch = True
+            print(f"WARNING: block dispatch took {dt:.0f}s; the TPU "
+                  f"tunnel kills ~2-4 min dispatches - reduce nstep "
+                  f"(currently {nstep}) for this configuration",
+                  file=sys.stderr, flush=True)
 
         if checkpoint_file is not None:
             from ..utils.checkpoint import save_walker_state

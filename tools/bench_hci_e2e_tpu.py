@@ -151,7 +151,8 @@ def main():
                    eps_var=args.eps_var, eps_pt=args.eps_pt,
                    eps_pt_big=args.eps_pt_big,
                    n_mc=args.n_mc, target_error=args.target_error,
-                   n_max_connections=0, verbose=True, mesh=mesh)
+                   n_max_connections=0, verbose=True, mesh=mesh,
+                   device=(args.mode == "tpu-dev"))
         t_pt = time.time() - t0
         rec.update(
             eps_pt=args.eps_pt, t_pt_s=t_pt, pt_mode=pt["mode"],
