@@ -365,38 +365,61 @@ def _spmv(x, ell_cols, ell_vals, ell_row, n: int):
 # device Davidson (masked fixed-size subspace)
 # ---------------------------------------------------------------------------
 
+# All subspace matmuls run at Precision.HIGHEST: the v5e MXU quantizes
+# f32 matmul operands to bf16 at default precision (PERF_NOTES round-3i),
+# which corrupts the Gram matrix at the 1e-2 level and stalls Davidson.
+# HIGHEST is honored for these plain 2D dots (2e-7 rel, measured
+# tools/microbench_rowsum.py).
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_HI)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _dav_gram(V, W, mask):
+    """Masked Gram matrix G = V^T H V (small [m_max, m_max]); pulled to
+    host each iteration, where the dense eigenproblem is solved in f64
+    (the on-device f32 eigensolver under bf16 matmul quantization
+    returned bf16-resolution eigenvalues - measured on the v5e)."""
+    f32 = jnp.float32
+    Vm = V * mask[None, :].astype(f32)
+    Wm = W * mask[None, :].astype(f32)
+    G = _mm(Vm.T, Wm)
+    G = 0.5 * (G + G.T)
+    big = (~mask).astype(f32) * jnp.asarray(1e12, f32)
+    return G + jnp.diag(big)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "n", "m_max"))
-def _dav_iter(V, W, mask, diag, ell_cols, ell_vals, ell_row,
-              k: int, n: int, m_max: int):
-    """One Davidson iteration with the subspace held at fixed width
-    m_max and a column-validity mask (ref: davidson_sparse,
+def _dav_expand(V, W, mask, Sk, evals, diag, ell_cols, ell_vals, ell_row,
+                k: int, n: int, m_max: int):
+    """Expansion half of one Davidson iteration: Ritz vectors from the
+    host-solved (Sk, evals), preconditioned residual directions,
+    orthonormalization, spmv, column append (ref: davidson_sparse,
     more_tools.f90:2018; restart = collapse to the Ritz block)."""
     f32 = jnp.float32
     Vm = V * mask[None, :].astype(f32)
     Wm = W * mask[None, :].astype(f32)
-    G = Vm.T @ Wm
-    G = 0.5 * (G + G.T)
-    big = (~mask).astype(f32) * jnp.asarray(1e12, f32)
-    G = G + jnp.diag(big)
-    w, S = jnp.linalg.eigh(G)
-    evals = w[:k]
-    Sk = S[:, :k]
-    X = Vm @ Sk
-    HX = Wm @ Sk
+    X = _mm(Vm, Sk)
+    HX = _mm(Wm, Sk)
     R = HX - X * evals[None, :]
     res_norm = jnp.linalg.norm(R, axis=0)
     denom = evals[None, :] - diag[:, None]
     denom = jnp.where(jnp.abs(denom) < 1e-6, -1.0, denom)
     T = (R / denom).astype(f32)
     for _ in range(2):
-        T = T - Vm @ (Vm.T @ T)
+        T = T - _mm(Vm, _mm(Vm.T, T))
     # per-column normalize + internal Gram-Schmidt (k is small)
     cols = []
     kept = []
     for i in range(k):
         t = T[:, i]
         for t_prev, kept_prev in zip(cols, kept):
-            t = t - t_prev * (t_prev @ t) * kept_prev
+            # elementwise-mul + reduce: exact f32 (never lowers to the
+            # bf16-quantizing MXU, unlike a 1-D dot)
+            t = t - t_prev * jnp.sum(t_prev * t) * kept_prev
         nrm = jnp.linalg.norm(t)
         ok = nrm > 1e-6
         t = t / jnp.where(ok, nrm, 1.0)
@@ -415,7 +438,7 @@ def _dav_iter(V, W, mask, diag, ell_cols, ell_vals, ell_row,
         W2 = jax.lax.dynamic_update_slice(W2, HX, (0, 0))
         mask2 = jnp.arange(m_max) < k
         # re-orthogonalize T against the Ritz block
-        T2 = T - X @ (X.T @ T)
+        T2 = T - _mm(X, _mm(X.T, T))
         nrms = jnp.linalg.norm(T2, axis=0)
         ok2 = keptv & (nrms > 1e-6)
         T2 = T2 / jnp.where(ok2, nrms, 1.0)[None, :]
@@ -439,7 +462,23 @@ def _dav_iter(V, W, mask, diag, ell_cols, ell_vals, ell_row,
     Wt = Wt.at[colpos].set(HT.T, mode="drop")
     mask_new = mask1 | (jnp.zeros(m_max, bool).at[colpos].set(
         jnp.ones(k, bool), mode="drop"))
-    return Vt.T, Wt.T, mask_new, evals, X, res_norm
+    return Vt.T, Wt.T, mask_new, X, res_norm
+
+
+def _dav_iter(V, W, mask, diag, ell_cols, ell_vals, ell_row,
+              k: int, n: int, m_max: int):
+    """One Davidson iteration: device Gram -> host f64 eigh of the tiny
+    [m_max, m_max] subspace problem -> device expansion.  The host hop
+    costs one extra small transfer per iteration on top of the
+    convergence-check sync the driver already does."""
+    G = np.asarray(_dav_gram(V, W, mask), np.float64)
+    w, S = np.linalg.eigh(G)
+    evals = jnp.asarray(w[:k], jnp.float32)
+    Sk = jnp.asarray(S[:, :k], jnp.float32)
+    V, W, mask, X, res = _dav_expand(V, W, mask, Sk, evals, diag,
+                                     ell_cols, ell_vals, ell_row,
+                                     k=k, n=n, m_max=m_max)
+    return V, W, mask, jnp.asarray(w[:k]), X, res
 
 
 # ---------------------------------------------------------------------------
