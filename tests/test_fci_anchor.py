@@ -61,17 +61,34 @@ def _dense_ground(system, up, dn):
 
 @pytest.fixture(scope="module")
 def e_fci(cas):
-    """Dense ground energy over the FULL CAS det space — the anchor."""
+    """Dense ground energy of the HF symmetry sector over the FULL CAS
+    det space — the anchor.
+
+    The GLOBAL CAS(4e,12o) minimum lives in the B2u/B3u sectors (a
+    degenerate Pi_u pair at -75.517967; the truncated active space
+    reorders C2's close-lying Sigma/Pi states), while HF and everything
+    under test project onto the Ag sector.  H is totally symmetric for
+    the abelian group, so the sector block (dets whose occupied-orbital
+    irrep XOR equals HF's) is an exact invariant subspace and its lowest
+    eigenvalue is the right external anchor; measured sector spectrum:
+    Ag -75.479081, B3u/B2u -75.517967, B1g -75.490472."""
     norb, nup, ndn = cas.norb, cas.nup, cas.ndn
-    ups = [dets_mod.det_from_orbs(c, norb)
-           for c in combinations(range(norb), nup)]
-    dns = [dets_mod.det_from_orbs(c, norb)
-           for c in combinations(range(norb), ndn)]
-    nu, nd = len(ups), len(dns)
-    up = np.repeat(np.asarray(ups, np.uint64), nd, axis=0)
-    dn = np.tile(np.asarray(dns, np.uint64), (nu, 1))
-    assert len(up) == nu * nd
-    return _dense_ground(cas, up, dn), len(up)
+    sym = np.asarray(cas.orb_sym_arr) - 1
+    ups = list(combinations(range(norb), nup))
+    dns = list(combinations(range(norb), ndn))
+    irr_u = np.array([np.bitwise_xor.reduce(sym[list(c)]) for c in ups])
+    irr_d = np.array([np.bitwise_xor.reduce(sym[list(c)]) for c in dns])
+    irr = np.repeat(irr_u, len(dns)) ^ np.tile(irr_d, len(ups))
+    hf_irr = (np.bitwise_xor.reduce(sym[:nup])
+              ^ np.bitwise_xor.reduce(sym[:ndn]))
+    up = np.repeat(np.asarray(
+        [dets_mod.det_from_orbs(c, norb) for c in ups], np.uint64),
+        len(dns), axis=0)
+    dn = np.tile(np.asarray(
+        [dets_mod.det_from_orbs(c, norb) for c in dns], np.uint64),
+        (len(ups), 1))
+    keep = irr == hf_irr
+    return _dense_ground(cas, up[keep], dn[keep]), int(keep.sum())
 
 
 @pytest.mark.slow
