@@ -143,17 +143,29 @@ def _generate_device(system, var_keys, ref_idx, eps_ref, wts_dev, wop,
     up_all = (keys >> jnp.uint64(32))[:, None]
     dn_all = (keys & MASK32)[:, None]
     batches = []
-    for beg in range(0, m, batch_refs):
-        sl = slice(beg, min(beg + batch_refs, m))
+    # emission capacity guard: a single emit_doubles at cap 2^23 x
+    # [2norb+2] f32 blew past the v5e's 16 GB HBM at compile time
+    # (measured round 5); recursively split ref slices whose counted
+    # emission exceeds EMIT_MAX so every emit compiles at a bounded cap.
+    EMIT_MAX = 1 << 22
+    stack = [(beg, min(beg + batch_refs, m))
+             for beg in reversed(range(0, m, batch_refs))]
+    while stack:
+        beg, end = stack.pop()
+        sl = slice(beg, end)
         epr = jnp.where(keys[sl] != SENT,
                         eps_ref[sl].astype(jnp.float64), jnp.inf)
-        mh = jnp.full(keys[sl].shape[0], jnp.inf)
+        mh = jnp.full(end - beg, jnp.inf)
         n_emit, lo, desc = count_doubles(hb, up_all[sl], dn_all[sl], epr,
                                          mh, nup=nup, ndn=ndn)
-        batches.append((sl, epr, mh, n_emit, lo, desc, jnp.sum(n_emit)))
-    totals = np.asarray(jnp.stack([b[-1] for b in batches]))
+        tot = int(jnp.sum(n_emit))
+        if tot > EMIT_MAX and end - beg > 1:
+            mid = (beg + end) // 2
+            stack.extend([(mid, end), (beg, mid)])
+            continue
+        batches.append((sl, epr, mh, n_emit, lo, desc, tot))
     kk_all, tv_all = [], []
-    for (sl, epr, mh, n_emit, lo, desc, _), tot in zip(batches, totals):
+    for sl, epr, mh, n_emit, lo, desc, tot in batches:
         outs = []
         if tot > 0:
             cap_e = _bucket(int(tot))
