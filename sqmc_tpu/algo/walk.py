@@ -2793,6 +2793,13 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
     # (two cached compiles).
     cfg_growth = dataclasses.replace(cfg, cap_new=cfg.cap_spawn) \
         if not cfg.full_sort_merge else cfg
+    if cfg.cap_compact:
+        # the growth transient spawns far above the steady-state valid
+        # fraction (measured: >196k valid of cap 262k in block 1 vs
+        # ~65-75% at stationarity), so equilibration blocks run the
+        # UNCOMPACTED program; the compacted variant takes over for
+        # measured blocks (same state shapes - swap is free)
+        cfg_growth = dataclasses.replace(cfg_growth, cap_compact=0)
 
     max_capacity_grows = 4
     grows = 0
@@ -2857,9 +2864,12 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
             grows += 1
             cfg = dataclasses.replace(cfg, mwalk=2 * cfg.mwalk,
                                       cap_spawn=2 * cfg.cap_spawn,
-                                      cap_single=2 * cfg.cap_single)
+                                      cap_single=2 * cfg.cap_single,
+                                      cap_compact=2 * cfg.cap_compact)
             cfg_growth = dataclasses.replace(cfg, cap_new=cfg.cap_spawn) \
                 if not cfg.full_sort_merge else cfg
+            if cfg.cap_compact:
+                cfg_growth = dataclasses.replace(cfg_growth, cap_compact=0)
             if verbose:
                 print(f"capacity overflow: growing to mwalk={cfg.mwalk} "
                       f"cap_spawn={cfg.cap_spawn}, rerunning block "
