@@ -2740,7 +2740,7 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
              checkpoint_file: str | None = None,
              resume_state: "WalkState | None" = None,
              guide=None, tables_transform=None,
-             pipeline_blocks: bool = True) -> WalkResult:
+             pipeline_blocks: bool = False) -> WalkResult:
     """Block/step driver with equilibration (ref: do_walk.f90:2113).
 
     Energy estimate: ratio of block sums of e_num/e_den with blocking error
@@ -2754,7 +2754,12 @@ def run_walk(system, trial, cfg: WalkConfig, nstep: int, nblk: int,
     pipeline_blocks: scan mode dispatches block k+1 before fetching block
     k's stats (1-block lookahead; trajectory bit-identical - the chain is
     functional and the lookahead stalls at the eq-extension decision
-    block).  Disable to reproduce strictly serial dispatch timing.
+    block).  OFF by default: the A/B at the bench shape measured the
+    lookahead NET NEGATIVE through the axon tunnel (34.8 vs 39.8 gen/s
+    wall, .cache/scan_r5.jsonl - queueing a second undonated dispatch
+    behind the in-flight block slows the remote executor more than the
+    hidden round trips save); on a locally-attached chip the lookahead
+    may win - it stays available as an option.
     """
     import time
 
