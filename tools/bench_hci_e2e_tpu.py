@@ -95,6 +95,7 @@ def main():
         system = make_chem_system(FCIDUMP)
 
     timers.start_ledger()
+    dev_ledger = {}
     t0 = time.time()
     if args.load_wf:
         import types
@@ -105,7 +106,6 @@ def main():
                                     energies=z["energies"], diag=z["diag"])
     elif args.mode == "tpu-dev":
         from sqmc_tpu.algo.devhci import run_hci_device
-        dev_ledger = {}
         res = run_hci_device(system, eps_var=args.eps_var, verbose=True,
                              ledger=dev_ledger)
     else:
