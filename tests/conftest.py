@@ -66,11 +66,37 @@ _SLOW_TESTS = {
     "test_walkalize_and_histogram",
     "test_ct_walk_unbiased_at_large_tau",
     "test_initiator_on_accuracy_and_effect",
+    # round-5 re-tier (VERDICT r4 item 6; measured on this 1-vCPU host,
+    # /tmp/r5_fast_tier.log 2026-08-21: tier was 21:50): every entry
+    # below measured >= ~16 s and has a faster sibling keeping its
+    # subsystem covered in the fast tier
+    "test_ct_heg_unbiased_at_large_tau",            # 405 s
+    "test_ct_generic_chem_unbiased_at_large_tau",   # 189 s
+    "test_walk_deterministic_limit_w2",             # 66 s
+    "test_hf_to_psit_card_forces_psit_into_d",      # 41 s
+    "test_walk_quantized_selection_unbiased",       # 38 s
+    "test_ct_in_d_trace_is_shifted_gather_trace",   # 33 s
+    "test_sharded_dense_projection_matches_ell",    # 27 s
+    "test_pscan_u32_fields_sign_flip_domain",       # 26 s
+    "test_walk_trajectory_bitwise_invariant",       # 25 s
+    "test_ts_walk_exact_deterministic_limit",       # 19 s
+    "test_deterministic_pt_golden",                 # 16 s
+    "test_devpt_alias_matches_host",                # 16 s
+    "test_trial_iterate_drives_exact_walk",         # 13 s
+    "test_ensure_psit_in_imp_subset",               # 11 s
+}
+
+# parametrized cases demoted individually (full item name, with params):
+# the remaining params keep the oracle in the fast tier
+_SLOW_ITEMS = {
+    "test_pscan_matches_xla_six_fields[70000]",     # 42 s
+    "test_pscan_matches_xla_six_fields[4096]",      # 19 s
 }
 
 
 def pytest_collection_modifyitems(config, items):
     import pytest as _pytest
     for item in items:
-        if item.name.split("[")[0] in _SLOW_TESTS:
+        if (item.name.split("[")[0] in _SLOW_TESTS
+                or item.name in _SLOW_ITEMS):
             item.add_marker(_pytest.mark.slow)
