@@ -36,6 +36,12 @@ sys.path.insert(0, ROOT)
 def child(args):
     import numpy as np
     import jax
+    # sitecustomize registers the axon backend before this runs, so the
+    # env JAX_PLATFORMS is too late - force the CPU platform via config
+    # (the proven dryrun_multichip / sharded_equiv bring-up pattern);
+    # the XLA_FLAGS device-count env from the parent is honored at the
+    # CPU client's lazy init
+    jax.config.update("jax_platforms", "cpu")
     from jax.sharding import Mesh
 
     devs = jax.devices()
