@@ -60,6 +60,12 @@ def main():
     import numpy as np
     import jax
 
+    if args.mode == "host":
+        # never touch the axon backend for a pure-host run: its init
+        # blocks for many minutes when the tunnel is down (and the env
+        # JAX_PLATFORMS is too late under sitecustomize)
+        jax.config.update("jax_platforms", "cpu")
+
     cache = os.path.join(ROOT, ".cache")
     os.makedirs(os.path.join(cache, "jax_cache"), exist_ok=True)
     jax.config.update("jax_compilation_cache_dir",
