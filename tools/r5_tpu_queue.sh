@@ -1,9 +1,13 @@
 #!/bin/bash
-# Round-5 walk throughput queue (VERDICT r4 item 1): pipelined baseline,
-# cap_compact A/B at the bench shape, then the ledgered bench re-run.
-# Each rung appends to .cache/scan_r5.jsonl with bias measured in-run.
+# Round-5 walk A/B queue (VERDICT r4 item 1) - as actually run
+# (2026-08-21, .cache/scan_r5.jsonl): pipelined baseline under host
+# load, serial-dispatch A/B, cap_compact rungs, solo pipelined rerun.
+# Findings: pipelining net-negative through the tunnel (34.8 vs 39.8
+# gen/s wall, bit-identical trajectories); cap_compact net-negative
+# (~20 steps/s in-block - the compaction scatters serialize).  Both
+# defaults stay off; see PERF_NOTES "Round-5: walk A/B results".
 set -u
-cd /root/repo
+cd "$(dirname "$0")/.."
 OUT=.cache/scan_r5.jsonl
 COMMON="--pop 2e5 --g 2 --min-wt 0.5 --r-init 0.5 --eps-var 1e-3 \
   --n-psit 2000 --n-imp 20000 --tau 2e-3 --mwalk 458752 --cap 262144 \
@@ -12,14 +16,10 @@ COMMON="--pop 2e5 --g 2 --min-wt 0.5 --r-init 0.5 --eps-var 1e-3 \
 run() {
   echo "=== rung: $* $(date -u) ==="
   timeout 4500 python tools/scan_walk.py $COMMON "$@"
-  rc=$?
-  echo "=== rc=$rc $(date -u) ==="
-  if [ $rc -ne 0 ]; then
-    echo "RUNG FAILED rc=$rc -- continuing to next" >&2
-  fi
+  echo "=== rc=$? $(date -u) ==="
 }
 
-run                             # pipelined baseline
-run --no-pipeline               # pipelining A/B (same seed, same trajectory)
-run --cap-compact 196608        # compact 25% of spawn slots
-run --cap-compact 163840        # compact 37.5%
+run                             # serial-dispatch baseline (default)
+run --no-pipeline               # explicit serial (same program)
+run --cap-compact 196608
+run --cap-compact 163840
