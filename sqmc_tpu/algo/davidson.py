@@ -146,3 +146,35 @@ def davidson(H: SparseHam, n_states: int = 1,
         W = np.concatenate([W, HT], axis=1)
 
     return np.asarray(evals), np.asarray(X)
+
+
+def arpack_diagonalize(H: SparseHam, n_states: int = 1,
+                       initial: np.ndarray | None = None,
+                       tol: float = 0.0):
+    """ARPACK alternative diagonalizer (ref: parpack_diagonalize,
+    more_tools.f90:2869 — the reference's optional PARPACK path; scipy
+    bundles the same ARPACK library, single-process here).  Same
+    contract as davidson(): returns (evals [k], evecs [n, k]).
+    """
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.linalg import eigsh
+
+    n, k = H.n, n_states
+    if n <= max(2 * k + 1, 16):
+        M = np.zeros((n, n))
+        M[H.rows, H.cols] = H.vals
+        M = M + M.T + np.diag(H.diag)
+        w, v = np.linalg.eigh(M)
+        return w[:k], v[:, :k]
+    A = coo_matrix((np.concatenate([H.vals, H.vals, H.diag]),
+                    (np.concatenate([H.rows, H.cols, np.arange(n)]),
+                     np.concatenate([H.cols, H.rows, np.arange(n)]))),
+                   shape=(n, n)).tocsr()
+    v0 = None
+    if initial is not None and initial.shape[0] == n:
+        v0 = np.asarray(initial[:, 0], np.float64)
+        nrm = np.linalg.norm(v0)
+        v0 = v0 / nrm if nrm > 0 else None
+    w, v = eigsh(A, k=k, which="SA", v0=v0, tol=tol)
+    order = np.argsort(w)
+    return w[order], v[:, order]

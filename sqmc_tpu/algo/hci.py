@@ -117,9 +117,15 @@ def run_hci(system, eps_var: float, eps_var_sched=None, n_states: int = 1,
             max_iters: int = 50, verbose: bool = True,
             keep_ham: bool = False, dump_wf_var: bool = False,
             wf_cache_dir: str | None = None, mesh=None,
-            active_space=None, device_davidson: bool = False) -> HCIResult:
+            active_space=None, device_davidson: bool = False,
+            diagonalizer: str = "davidson") -> HCIResult:
     """mesh: optional jax.sharding.Mesh - Davidson matvecs run sharded
     over it (SURVEY P4, davidson_sparse_mpi2 analog).
+
+    diagonalizer: "davidson" (default) or "arpack" - the ARPACK
+    alternative of the reference's optional PARPACK build
+    (more_tools.f90:2869; scipy bundles the same ARPACK library).
+    "arpack" is host-only (ignores mesh/device_davidson).
 
     device_davidson: run the Davidson matvec on the accelerator in the
     f32 128-slot row-block (block-ELL) layout, with host-f64 Rayleigh
@@ -287,9 +293,14 @@ def run_hci(system, eps_var: float, eps_var_sched=None, n_states: int = 1,
                 # layout (the TPU-fast form; ops/spmv_pallas.BlockEllSpmv)
                 from ..ops.spmv_pallas import BlockEllSpmv
                 mv, f32_dev = BlockEllSpmv(H), True
-            evals, evecs = davidson(
-                H, n_states, initial=X0, matvec_fn=mv,
-                tol=3e-6 if f32_dev else 1e-10)
+            if diagonalizer == "arpack":
+                from .davidson import arpack_diagonalize
+                evals, evecs = arpack_diagonalize(H, n_states, initial=X0)
+                f32_dev = False
+            else:
+                evals, evecs = davidson(
+                    H, n_states, initial=X0, matvec_fn=mv,
+                    tol=3e-6 if f32_dev else 1e-10)
             if f32_dev:
                 evals = np.array([_rayleigh_f64(H, evecs[:, s])
                                   for s in range(n_states)])

@@ -85,3 +85,15 @@ def test_heg_2d_backend():
     assert r.energies[0] == pytest.approx(float(evals[0]), abs=1e-9)
     # kinetic-only HF diagonal sanity: E_var below HF energy
     assert r.energies[0] < heg2.extra["energy_hf"] + 1e-12
+
+
+def test_arpack_diagonalizer_matches_davidson(heg):
+    """ARPACK alternative diagonalizer (ref: the optional PARPACK build,
+    more_tools.f90:2869): same selection trajectory and variational
+    energy as the Davidson default."""
+    res_d = run_hci(heg, eps_var=1e-2, eps_var_sched=[1e-2] * 10,
+                    verbose=False)
+    res_a = run_hci(heg, eps_var=1e-2, eps_var_sched=[1e-2] * 10,
+                    verbose=False, diagonalizer="arpack")
+    assert len(res_a.up) == len(res_d.up)
+    assert abs(res_a.energies[0] - res_d.energies[0]) < 1e-8
