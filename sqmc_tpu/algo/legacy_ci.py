@@ -288,3 +288,32 @@ def matrix_lanczos_on_the_fly(system, up, dn, iters: int = 40,
     inv = np.empty(n, np.int64)
     inv[order] = np.arange(n)
     return e, vec[inv]
+
+
+def hubbard_lanczos_full(system, iters: int = 60, tol: float = 1e-10,
+                         verbose: bool = False):
+    """Full-space Lanczos ground state for a Hubbard system (ref:
+    arnoldi_hubbard_binary_search, hubbard.f90:6700 - enumerate the whole
+    Sz sector, apply H matrix-free, binary-search det lookups).  The TPU
+    redesign reuses matrix_lanczos_on_the_fly (sort-join H application
+    over the lex-sorted det list replaces the reference's per-connection
+    binary search).  Returns (energy, vec, up, dn) with dets in
+    lex-sorted order.
+    """
+    from itertools import combinations
+
+    from .. import dets as dets_mod
+    from ..ops import setalg
+
+    norb, nup, ndn = system.norb, system.nup, system.ndn
+    ups = np.stack([dets_mod.det_from_orbs(c, norb)
+                    for c in combinations(range(norb), nup)])
+    dns = np.stack([dets_mod.det_from_orbs(c, norb)
+                    for c in combinations(range(norb), ndn)])
+    up = np.repeat(ups, len(dns), axis=0)
+    dn = np.tile(dns, (len(ups), 1))
+    order = setalg.lexsort_dets(up, dn)
+    up, dn = up[order], dn[order]
+    e, vec = matrix_lanczos_on_the_fly(system, up, dn, iters=iters,
+                                       tol=tol, verbose=verbose)
+    return e, vec, up, dn

@@ -115,3 +115,25 @@ def test_lanczos_on_the_fly_matches_davidson():
     assert e == pytest.approx(float(res.energies[0]), abs=1e-9)
     ov = abs(float(np.dot(vec, res.wts[:, 0])))
     assert ov > 1 - 1e-8
+
+
+def test_hubbard_lanczos_full_matches_dense():
+    """Full-space Hubbard Lanczos (ref: arnoldi_hubbard_binary_search,
+    hubbard.f90:6700) against dense diagonalization."""
+    import numpy as np
+    from sqmc_tpu.systems.hubbard.system import make_hubbard_k_system
+    from sqmc_tpu.algo.legacy_ci import hubbard_lanczos_full
+    from sqmc_tpu.algo.sparseham import build_sparse_ham
+
+    hub = make_hubbard_k_system(2, 2, t=1.0, U=4.0, nup=2, ndn=2)
+    e, vec, up, dn = hubbard_lanczos_full(hub, iters=60)
+    H = build_sparse_ham(hub.table, up, dn, 2, 2, hub.norb)
+    n = H.n
+    M = np.zeros((n, n))
+    M[H.rows, H.cols] = H.vals
+    M = M + M.T + np.diag(H.diag)
+    w, v = np.linalg.eigh(M)
+    assert abs(e - w[0]) < 1e-9, (e, w[0])
+    # eigenvector agreement up to sign
+    ov = abs(float(vec @ v[:, 0]))
+    assert ov > 1 - 1e-8, ov
